@@ -1,0 +1,181 @@
+"""Frozen experiment configuration.
+
+Replaces the reference's import-time global config (`world.config`,
+reference code/world.py:57-105) with explicit immutable dataclasses.
+Every hyperparameter / feature flag of the reference CLI
+(reference code/parse.py:16-114) has a field here with the same default,
+so the compatibility surface is complete; see `gsrs_tpu.cli` for the
+argv mapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence, Tuple
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset location and ingestion options."""
+
+    dataset: str = "gowalla"
+    data_root: str = dataclasses.field(
+        default_factory=lambda: os.path.join(_repo_root(), "data")
+    )
+    # Cache the normalized adjacency on disk (same role as the reference's
+    # s_pre_adj_mat.npz cache, reference code/dataloader.py:213-237).
+    cache_adjacency: bool = True
+    # Pad edge count up to a multiple of this so jitted shapes stay static
+    # across epochs/datasets (avoids XLA recompilation).
+    edge_pad_multiple: int = 8192
+
+    @property
+    def dataset_dir(self) -> str:
+        return os.path.join(self.data_root, self.dataset)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """LightGCN model family hyperparameters.
+
+    Mirrors reference flags: --recdim, --layer, --dropout/--keepprob,
+    --model (reference code/parse.py:22-33,106), pop-gate flags
+    (reference code/parse.py:84-97) and item-item flags
+    (reference code/parse.py:98-104).
+    """
+
+    model: str = "lgn"  # 'lgn' | 'mf'
+    embedding_dim: int = 64  # --recdim
+    num_layers: int = 3  # --layer
+    # Edge dropout on the propagation graph. The reference parses these
+    # flags but leaves propagation dropout as a TODO
+    # (reference code/model.py:214); here it is implemented.
+    dropout: bool = False
+    keep_prob: float = 0.6
+    # A_split / a_fold (reference code/parse.py:60-66) exist in the
+    # reference for GPU memory folding; on TPU, sharding is handled by the
+    # mesh (gsrs_tpu.parallel) so these are accepted and ignored.
+    a_split: bool = False
+    a_fold: int = 100
+
+    # Popularity-gate fusion (reference code/model.py:65-96,139-157).
+    use_pop_gate: bool = False
+    pop_hidden: int = 32
+    gate_hidden: int = 64
+    gate_entropy_coeff: float = 1e-4
+    pop_gate_temp: float = 1.0
+
+    # Item-item co-occurrence graph fusion (reference code/model.py:98-109).
+    use_item_item: bool = False
+    i2i_path: Optional[str] = None
+    i2i_alpha: float = 0.1
+
+    # Personalised-PageRank layer weights: the reference keeps the flags but
+    # the live model ignores them (reference code/parse.py:69-74 vs
+    # code/model.py:222); accepted here for CLI parity, ignored likewise.
+    use_ppr_weights: bool = False
+    ppr_weights_path: Optional[str] = None
+    exp_smooth_beta: float = 0.0
+
+    # Numerics: embeddings/optimizer state in fp32; propagation and scoring
+    # matmuls may run in bf16 on the MXU when True.
+    bf16_compute: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization / loop hyperparameters (reference code/parse.py:17-45)."""
+
+    batch_size: int = 2048  # --bpr_batch
+    lr: float = 1e-3
+    decay: float = 1e-4  # L2 coefficient applied to the BPR reg term
+    epochs: int = 1000
+    seed: int = 2020
+    # MultiStepLR schedule (reference code/parse.py:76-82, code/main.py:39-44)
+    use_scheduler: bool = False
+    sched_milestones: Tuple[int, ...] = (120, 240, 360, 480)
+    sched_gamma: float = 0.5
+    # Checkpointing (reference code/parse.py:52-58,107-113)
+    checkpoint_dir: str = dataclasses.field(
+        default_factory=lambda: os.path.join(_repo_root(), "checkpoints")
+    )
+    save_every: int = 10
+    keep_topk: int = 0  # prune best-* checkpoints beyond this many; 0 = keep all
+    resume: bool = False
+    resume_path: Optional[str] = None
+    load_pretrained: bool = False  # --load
+    pretrain: int = 0
+    # Eval cadence: reference evaluates every 10 epochs (code/main.py:187)
+    eval_every: int = 10
+    # Logging
+    tensorboard: bool = True
+    comment: str = "lgn"
+    # Number of train steps fused into one jitted scan segment. Larger
+    # values amortize dispatch; 0 = whole epoch in one scan.
+    steps_per_scan: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation options (reference code/parse.py:46-51,105)."""
+
+    test_batch: int = 2048  # users scored per device step (ref default 100)
+    topks: Tuple[int, ...] = (20,)
+    multicore: bool = False  # accepted for parity; metrics are vectorized
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh / sharding layout. No reference counterpart (the reference is
+    single-process, single-device — SURVEY.md §2 parallelism inventory);
+    this is a first-class new component of the TPU build."""
+
+    # Mesh axis sizes; data axis shards the BPR batch, model axis shards
+    # item embedding rows / the catalog for scoring+top-k.
+    data_axis: int = 1
+    model_axis: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+    # Use shard_map explicit collectives instead of relying purely on
+    # sharding propagation.
+    use_shard_map: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def replace(self, **sections) -> "ExperimentConfig":
+        return dataclasses.replace(self, **sections)
+
+
+def topks_from_string(s: str) -> Tuple[int, ...]:
+    """Parse "[20]"-style topks strings (reference code/world.py:41)."""
+    import ast
+
+    v = ast.literal_eval(s)
+    if isinstance(v, int):
+        return (v,)
+    return tuple(int(x) for x in v)
+
+
+def milestones_from_string(s: str) -> Tuple[int, ...]:
+    """Parse "[120,240]" or "120,240" (reference code/world.py:87-94)."""
+    s = s.strip()
+    try:
+        import ast
+
+        v = ast.literal_eval(s)
+        if isinstance(v, int):
+            return (v,)
+        return tuple(int(x) for x in v)
+    except (ValueError, SyntaxError):
+        return tuple(int(x) for x in s.strip("[]").split(",") if x.strip())

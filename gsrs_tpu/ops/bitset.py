@@ -1,0 +1,60 @@
+"""Packed per-user membership bitsets.
+
+A (n_users, ceil(m_items/32)) uint32 array where bit ``i & 31`` of word
+``[u, i >> 5]`` says whether item ``i`` is a train (or test) positive of
+user ``u``. This gives O(1) on-device membership tests, which power
+
+- rejection-free negative sampling (replacing the host-side linear
+  ``std::find`` rejection loop of the reference's C++ sampler,
+  reference code/sources/sampling.cpp:46-50), and
+- train-positive masking of full-catalog eval scores (replacing the
+  per-user Python index lists of reference code/Procedure.py:177-181).
+
+Gowalla-scale cost: 29,858 × ceil(40,981/32) × 4B ≈ 153 MB in HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bitset_words(m_items: int) -> int:
+    return (m_items + 31) // 32
+
+
+def build_bitset(
+    users: np.ndarray, items: np.ndarray, n_users: int, m_items: int
+) -> np.ndarray:
+    """Host-side construction of the packed membership table."""
+    W = bitset_words(m_items)
+    out = np.zeros((n_users, W), dtype=np.uint32)
+    np.bitwise_or.at(
+        out,
+        (users.astype(np.int64), (items >> 5).astype(np.int64)),
+        (np.uint32(1) << (items & 31).astype(np.uint32)),
+    )
+    return out
+
+
+def bitset_lookup(bitset: jax.Array, users: jax.Array, items: jax.Array) -> jax.Array:
+    """Membership test, broadcast over any matching shapes.
+
+    users: (...,) int32; items: (...,) int32 (same or broadcastable shape)
+    → bool of the broadcast shape.
+    """
+    words = bitset[users, items >> 5]
+    return ((words >> (items & 31).astype(jnp.uint32)) & 1).astype(jnp.bool_)
+
+
+def bitset_row_mask(bitset_rows: jax.Array, m_items: int) -> jax.Array:
+    """Unpack bitset rows (B, W) uint32 into a dense (B, m_items) bool mask.
+
+    Used to mask train positives out of full-catalog score matrices in one
+    vectorized op.
+    """
+    B, W = bitset_rows.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (bitset_rows[:, :, None] >> shifts[None, None, :]) & 1  # (B, W, 32)
+    return bits.reshape(B, W * 32)[:, :m_items].astype(jnp.bool_)

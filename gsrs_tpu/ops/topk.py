@@ -1,0 +1,54 @@
+"""Masked full-catalog top-k retrieval.
+
+Replaces the reference's score-then-mask-then-topk eval inner loop
+(reference code/Procedure.py:174-183): scores are a (B, m) matmul of user
+embeddings against the item table, train positives are pushed to -inf via
+the packed train bitset (the reference writes -(1<<10) into python-indexed
+positions), and ranking uses `jax.lax.top_k`.
+
+The sharded variant (catalog split over the `model` mesh axis) computes a
+local top-k per shard and merges via all-gather — see
+`gsrs_tpu.parallel.dist_eval`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gsrs_tpu.ops.bitset import bitset_row_mask
+
+NEG_INF = jnp.float32(-1e9)
+
+
+def score_users(
+    user_emb: jax.Array,  # (B, d) final (propagated) user embeddings
+    item_emb: jax.Array,  # (m, d) final item embeddings
+) -> jax.Array:
+    """Full-catalog raw dot-product scores U @ I^T, matching the
+    reference's rating head exactly (no activation —
+    reference code/model.py:114-123)."""
+    return jnp.dot(user_emb, item_emb.T, preferred_element_type=jnp.float32)
+
+
+def mask_train_positives(
+    scores: jax.Array,  # (B, m)
+    train_bitset_rows: jax.Array,  # (B, W) uint32 rows of the train bitset
+    m_items: int,
+) -> jax.Array:
+    mask = bitset_row_mask(train_bitset_rows, m_items)
+    return jnp.where(mask, NEG_INF, scores)
+
+
+def masked_topk(
+    user_emb: jax.Array,
+    item_emb: jax.Array,
+    train_bitset_rows: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """→ (top scores (B,k), top item ids (B,k))."""
+    scores = score_users(user_emb, item_emb)
+    scores = mask_train_positives(scores, train_bitset_rows, item_emb.shape[0])
+    return jax.lax.top_k(scores, k)

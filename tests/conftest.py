@@ -1,0 +1,64 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX loads.
+
+The reference has no tests at all (SURVEY.md §4); this suite is built to
+the plan there — golden math vs scipy/numpy oracles, sampler distribution
+checks, end-to-end tiny training, and multi-device sharding validated on
+forced CPU device counts."""
+
+import os
+
+# Hard override: the driver environment pins JAX_PLATFORMS=axon (the real
+# TPU tunnel); tests always run on a virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+from gsrs_tpu.data.dataset import InteractionData
+
+
+def random_interactions(
+    rng: np.random.Generator,
+    n_users: int = 40,
+    m_items: int = 60,
+    density: float = 0.08,
+    with_test: bool = True,
+) -> InteractionData:
+    """Small random bipartite dataset; every user gets ≥1 train positive."""
+    mask = rng.random((n_users, m_items)) < density
+    mask[np.arange(n_users), rng.integers(0, m_items, n_users)] = True
+    u, i = np.nonzero(mask)
+    test_dict = {}
+    if with_test:
+        # hold out one extra (unseen) item per even user
+        for user in range(0, n_users, 2):
+            neg = np.flatnonzero(~mask[user])
+            if neg.size:
+                test_dict[user] = np.array([rng.choice(neg)], dtype=np.int64)
+    return InteractionData(
+        name="synthetic-test",
+        n_users=n_users,
+        m_items=m_items,
+        train_users=u.astype(np.int64),
+        train_items=i.astype(np.int64),
+        test_dict=test_dict,
+    )
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(2020)
+
+
+@pytest.fixture
+def tiny_data(rng):
+    return random_interactions(rng)

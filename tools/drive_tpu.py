@@ -1,0 +1,59 @@
+"""Drive: clustered synthetic data -> held-out items are predictable."""
+import numpy as np, jax, jax.numpy as jnp, optax, time
+from gsrs_tpu.data.dataset import InteractionData
+from gsrs_tpu.data.adjacency import build_graph
+from gsrs_tpu.models.registry import build_model
+from gsrs_tpu.config import ModelConfig
+from gsrs_tpu.ops.sampling import make_sampler_state, sample_triplets
+from gsrs_tpu.ops.topk import masked_topk
+from gsrs_tpu.ops.metrics import topk_labels, batch_metrics
+from gsrs_tpu.ops.bitset import build_bitset
+
+rng = np.random.default_rng(7)
+n, m, C = 200, 300, 5
+uc, ic = rng.integers(0, C, n), rng.integers(0, C, m)
+prob = np.where(uc[:, None] == ic[None, :], 0.25, 0.005)
+mask = rng.random((n, m)) < prob
+mask[np.arange(n), rng.integers(0, m, n)] = True
+test_dict = {}
+for usr in range(0, n, 2):
+    cand = np.flatnonzero((~mask[usr]) & (ic == uc[usr]))
+    if cand.size: test_dict[usr] = np.array([int(rng.choice(cand))])
+u, i = np.nonzero(mask)
+data = InteractionData("drive", n, m, u.astype(np.int64), i.astype(np.int64), test_dict)
+graph = build_graph(data, edge_pad_multiple=1024)
+model = build_model(ModelConfig(num_layers=2, embedding_dim=16), graph)
+params = model.init_params(jax.random.key(0))
+state = make_sampler_state(data)
+opt = optax.adam(5e-2); opt_state = opt.init(params)
+
+@jax.jit
+def step(params, opt_state, key):
+    users, pos, neg = sample_triplets(key, state, 1024)
+    def loss_fn(p):
+        loss, aux = model.bpr_loss(p, users, pos, neg)
+        return loss + 1e-4 * aux["reg"], aux
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = opt.update(grads, opt_state)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+losses = []
+for e in range(150):
+    params, opt_state, loss = step(params, opt_state, jax.random.key(e))
+    losses.append(float(loss))
+print("loss:", losses[0], "->", losses[-1], flush=True)
+
+au, items, _ = model.final_embeddings(params)
+test_users = data.test_users()
+tb = jnp.asarray(build_bitset(data.train_users, data.train_items, n, m))
+test_bitset = build_bitset(
+    np.concatenate([np.full(len(v), k) for k, v in data.test_dict.items()]),
+    np.concatenate(list(data.test_dict.values())), n, m)
+_, top_items = masked_topk(au[test_users], items, tb[test_users], 20)
+labels = topk_labels(top_items, jnp.asarray(test_bitset), test_users.astype(np.int32))
+gt_counts = jnp.asarray([len(data.test_dict[int(x)]) for x in test_users], dtype=jnp.float32)
+sums = batch_metrics(labels, gt_counts, jnp.ones(len(test_users)), (20,))
+rec = float(sums["recall@20"]) / len(test_users)
+print("recall@20:", rec, "(chance would be ~0.067; within-cluster ceiling ~0.33)", flush=True)
+assert rec > 0.3, rec
+print("DRIVE OK", flush=True)
