@@ -1,0 +1,209 @@
+"""Command-line entry point.
+
+Accepts the complete reference flag surface (reference code/parse.py:16-114
+— same names, same defaults) and maps it onto the frozen config
+dataclasses, replacing the reference's import-time `world` global
+(code/world.py) and `register` side effects (code/register.py:35-37).
+
+Run:  python -m gsrs_tpu.cli --dataset gowalla --layer 3 --recdim 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+from gsrs_tpu.config import (
+    DataConfig,
+    EvalConfig,
+    ExperimentConfig,
+    ModelConfig,
+    ParallelConfig,
+    TrainConfig,
+    milestones_from_string,
+    topks_from_string,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gsrs_tpu",
+        description="TPU-native graph recommendation training (LightGCN family)",
+    )
+    # core training (reference code/parse.py:17-45)
+    p.add_argument("--bpr_batch", type=int, default=2048)
+    p.add_argument("--recdim", type=int, default=64)
+    p.add_argument("--layer", type=int, default=3)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--decay", type=float, default=1e-4)
+    p.add_argument("--dropout", type=int, default=0)
+    p.add_argument("--keepprob", type=float, default=0.6)
+    p.add_argument("--a_fold", type=int, default=100)
+    p.add_argument("--A_split", action="store_true")
+    p.add_argument("--testbatch", type=int, default=2048)
+    p.add_argument("--epochs", type=int, default=1000)
+    # dataset / paths (reference code/parse.py:46-58)
+    p.add_argument("--dataset", type=str, default="gowalla")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
+    p.add_argument("--topks", type=str, default="[20]")
+    # logging / repro
+    p.add_argument("--tensorboard", type=int, default=1)
+    p.add_argument("--comment", type=str, default="lgn")
+    p.add_argument("--load", type=int, default=0)
+    p.add_argument("--pretrain", type=int, default=0)
+    p.add_argument("--seed", type=int, default=2020)
+    p.add_argument("--model", type=str, default="lgn", choices=["lgn", "mf"])
+    p.add_argument("--multicore", type=int, default=0)
+    # PPR (accepted for parity; ignored by the live model, as in the
+    # reference — code/parse.py:69-74 vs code/model.py:222)
+    p.add_argument("--exp_smooth_beta", type=float, default=0.0)
+    p.add_argument("--use_ppr_weights", action="store_true")
+    p.add_argument("--ppr_weights_path", type=str, default=None)
+    # scheduler (reference code/parse.py:76-82)
+    p.add_argument("--use_scheduler", action="store_true")
+    p.add_argument("--sched_milestones", type=str, default="[120,240,360,480]")
+    p.add_argument("--sched_gamma", type=float, default=0.5)
+    # pop-gate (reference code/parse.py:84-97)
+    p.add_argument("--use_pop_gate", action="store_true")
+    p.add_argument("--pop_hidden", type=int, default=32)
+    p.add_argument("--gate_hidden", type=int, default=64)
+    p.add_argument("--gate_entropy_coeff", type=float, default=1e-4)
+    p.add_argument("--pop_gate_temp", type=float, default=1.0)
+    # item-item (reference code/parse.py:98-104)
+    p.add_argument("--use_item_item", action="store_true")
+    p.add_argument("--i2i_path", type=str, default=None)
+    p.add_argument("--i2i_alpha", type=float, default=0.1)
+    # checkpoint / resume (reference code/parse.py:107-113)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume_path", type=str, default=None)
+    p.add_argument("--save_every", type=int, default=10)
+    p.add_argument("--keep_topk", type=int, default=0)
+    # TPU-native additions (no reference counterpart)
+    p.add_argument("--bf16", action="store_true", help="bf16 propagation/scoring")
+    p.add_argument(
+        "--spmm",
+        type=str,
+        default="ell",
+        choices=["ell", "segment"],
+        help="propagation SpMM implementation (ell = scatter-free TPU path)",
+    )
+    p.add_argument("--eval_every", type=int, default=10)
+    p.add_argument(
+        "--epoch_samples",
+        type=int,
+        default=0,
+        help="override #triplets per epoch (0 = train_size, the reference semantics)",
+    )
+    p.add_argument("--data_axis", type=int, default=1)
+    p.add_argument("--model_axis", type=int, default=1)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
+    data_root = args.data_root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+    )
+    return ExperimentConfig(
+        data=DataConfig(dataset=args.dataset, data_root=data_root),
+        model=ModelConfig(
+            model=args.model,
+            embedding_dim=args.recdim,
+            num_layers=args.layer,
+            dropout=bool(args.dropout),
+            keep_prob=args.keepprob,
+            a_split=args.A_split,
+            a_fold=args.a_fold,
+            use_pop_gate=args.use_pop_gate,
+            pop_hidden=args.pop_hidden,
+            gate_hidden=args.gate_hidden,
+            gate_entropy_coeff=args.gate_entropy_coeff,
+            pop_gate_temp=args.pop_gate_temp,
+            use_item_item=args.use_item_item,
+            i2i_path=args.i2i_path,
+            i2i_alpha=args.i2i_alpha,
+            use_ppr_weights=args.use_ppr_weights,
+            ppr_weights_path=args.ppr_weights_path,
+            exp_smooth_beta=args.exp_smooth_beta,
+            bf16_compute=args.bf16,
+            spmm_mode=args.spmm,
+        ),
+        train=TrainConfig(
+            batch_size=args.bpr_batch,
+            lr=args.lr,
+            decay=args.decay,
+            epochs=args.epochs,
+            seed=args.seed,
+            use_scheduler=args.use_scheduler,
+            sched_milestones=milestones_from_string(args.sched_milestones),
+            sched_gamma=args.sched_gamma,
+            checkpoint_dir=args.checkpoint_dir,
+            save_every=args.save_every,
+            keep_topk=args.keep_topk,
+            resume=args.resume,
+            resume_path=args.resume_path,
+            load_pretrained=bool(args.load),
+            pretrain=args.pretrain,
+            eval_every=args.eval_every,
+            tensorboard=bool(args.tensorboard),
+            comment=args.comment,
+        ),
+        eval=EvalConfig(
+            test_batch=args.testbatch,
+            topks=topks_from_string(args.topks),
+            multicore=bool(args.multicore),
+        ),
+        parallel=ParallelConfig(
+            data_axis=args.data_axis, model_axis=args.model_axis
+        ),
+    )
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from gsrs_tpu.data.adjacency import build_graph
+    from gsrs_tpu.data.dataset import load_dataset, load_lastfm
+    from gsrs_tpu.models.lightgcn import ItemItemGraph
+    from gsrs_tpu.models.registry import build_model
+    from gsrs_tpu.train.trainer import Trainer
+
+    if args.dataset == "lastfm":
+        data = load_lastfm(cfg.data.dataset_dir)
+    else:
+        data = load_dataset(cfg.data.dataset_dir, name=args.dataset)
+    print(
+        f"[data] {data.name}: {data.n_users} users × {data.m_items} items, "
+        f"{data.train_size} train interactions, {len(data.test_dict)} test users"
+    )
+    graph = build_graph(
+        data,
+        edge_pad_multiple=cfg.data.edge_pad_multiple,
+        cache_dir=cfg.data.dataset_dir if cfg.data.cache_adjacency else None,
+    )
+    i2i = None
+    if cfg.model.use_item_item and cfg.model.i2i_path:
+        import scipy.sparse as sp
+
+        try:
+            i2i = ItemItemGraph.from_scipy(sp.load_npz(cfg.model.i2i_path))
+            print(f"[i2i] loaded {cfg.model.i2i_path}")
+        except Exception as e:  # tolerate like reference code/model.py:107-109
+            print(f"[i2i] WARNING: cannot load {cfg.model.i2i_path}: {e}")
+    ell = None
+    if cfg.model.spmm_mode == "ell":
+        from gsrs_tpu.ops.ell import ell_from_interactions
+
+        ell = ell_from_interactions(data)
+    model = build_model(cfg.model, graph, i2i, ell)
+    trainer = Trainer(cfg, data, graph, model)
+    if args.epoch_samples:
+        trainer.epoch_samples = args.epoch_samples
+    log_dir = os.path.join(cfg.train.checkpoint_dir, "runs")
+    trainer.fit(log_dir=log_dir)
+
+
+if __name__ == "__main__":
+    main()

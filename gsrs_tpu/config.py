@@ -86,6 +86,11 @@ class ModelConfig:
     # matmuls may run in bf16 on the MXU when True.
     bf16_compute: bool = False
 
+    # SpMM implementation for propagation: 'ell' (scatter-free bucketed
+    # gather, the fast TPU path — gsrs_tpu.ops.ell), 'segment'
+    # (segment-sum reference path — gsrs_tpu.ops.spmm), or 'pallas'.
+    spmm_mode: str = "ell"
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:

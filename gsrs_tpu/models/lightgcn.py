@@ -30,7 +30,8 @@ import numpy as np
 
 from gsrs_tpu.config import ModelConfig
 from gsrs_tpu.data.adjacency import BipartiteGraph
-from gsrs_tpu.ops.spmm import make_edge_dropout_masks, propagate_layer, spmm_edges
+from gsrs_tpu.ops.ell import EllGraph, ell_from_interactions, ell_propagate_layer
+from gsrs_tpu.ops.spmm import propagate_layer, spmm_edges
 
 Params = Dict[str, jax.Array]
 
@@ -83,9 +84,20 @@ class LightGCN:
         cfg: ModelConfig,
         graph: BipartiteGraph,
         i2i: Optional[ItemItemGraph] = None,
+        ell: Optional[EllGraph] = None,
     ):
         self.cfg = cfg
         self.graph = graph
+        # the scatter-free ELL layout is the default propagation path; the
+        # segment-sum path stays available via cfg.spmm_mode='segment'.
+        # Auto-derive it from the edge arrays when the caller didn't pass
+        # one (costs one host-side rebuild; callers on the hot path pass
+        # ell_from_interactions(data) directly).
+        if ell is None and cfg.spmm_mode == "ell" and cfg.num_layers > 0:
+            from gsrs_tpu.ops.ell import ell_from_graph
+
+            ell = ell_from_graph(graph)
+        self.ell = ell
         self.i2i = i2i if (cfg.use_item_item and i2i is not None) else None
         self.n_users = graph.n_users
         self.m_items = graph.m_items
@@ -120,26 +132,53 @@ class LightGCN:
 
     # ----------------------------------------------------------- propagation
     def propagate(
-        self, params: Params, dropout_key: Optional[jax.Array] = None
+        self,
+        params: Params,
+        dropout_key: Optional[jax.Array] = None,
+        graph: Optional[BipartiteGraph] = None,
+        ell: Optional[EllGraph] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """K-layer propagation + mean over layers 0..K, then optional i2i
-        smoothing. Pop-gate fusion is applied separately (`fuse_items`)
-        to mirror the reference's computer()/_fuse split."""
+        smoothing. Pop-gate fusion is applied separately (`_fuse`)
+        to mirror the reference's computer()/_fuse split.
+
+        ``graph`` may be passed explicitly so jitted callers trace it as an
+        argument instead of a closure constant (large closed-over arrays
+        are embedded into the lowered HLO, bloating compile uploads);
+        defaults to the graph bound at construction."""
+        graph = self.graph if graph is None else graph
+        ell = self.ell if ell is None else ell
+        use_ell = self.cfg.spmm_mode == "ell" and self.cfg.num_layers > 0
+        if use_ell and ell is None:
+            raise ValueError(
+                "spmm_mode='ell' but the model was built without an EllGraph;"
+                " pass ell=ell_from_interactions(data) or use 'segment'"
+            )
         u = params["user_emb"]
         i = params["item_emb"]
         if self.cfg.bf16_compute:
             u, i = u.astype(jnp.bfloat16), i.astype(jnp.bfloat16)
 
-        edge_masks = None
+        # Edge dropout (inverted, per-edge in canonical order so both SpMM
+        # directions drop the same edges and the graph stays symmetric).
+        keep = None
         if dropout_key is not None and self.cfg.dropout:
-            edge_masks = make_edge_dropout_masks(
-                dropout_key, self.graph, self.cfg.keep_prob
-            )
+            keep = jax.random.bernoulli(
+                dropout_key, p=self.cfg.keep_prob, shape=graph.edge_w_by_u.shape
+            ).astype(u.dtype) / self.cfg.keep_prob
 
         acc_u, acc_i = u, i
         cur_u, cur_i = u, i
         for _ in range(self.cfg.num_layers):
-            cur_u, cur_i = propagate_layer(self.graph, cur_u, cur_i, edge_masks)
+            if use_ell:
+                cur_u, cur_i = ell_propagate_layer(ell, cur_u, cur_i, keep)
+            else:
+                edge_masks = (
+                    None
+                    if keep is None
+                    else (keep[graph.perm_by_u], keep[graph.perm_by_i])
+                )
+                cur_u, cur_i = propagate_layer(graph, cur_u, cur_i, edge_masks)
             acc_u = acc_u + cur_u
             acc_i = acc_i + cur_i
         scale = 1.0 / (self.cfg.num_layers + 1)
@@ -154,15 +193,17 @@ class LightGCN:
         return all_users, all_items
 
     # ------------------------------------------------------------- pop gate
-    def _pop_vec(self, params: Params) -> jax.Array:
-        pop_feat = popularity_scalar(self.graph.item_degrees)[:, None]  # (m,1)
+    def _pop_vec(self, params: Params, graph: Optional[BipartiteGraph] = None) -> jax.Array:
+        graph = self.graph if graph is None else graph
+        pop_feat = popularity_scalar(graph.item_degrees)[:, None]  # (m,1)
         h = jax.nn.relu(pop_feat @ params["pop_w1"] + params["pop_b1"])
         return h @ params["pop_w2"] + params["pop_b2"]  # (m,d)
 
     def _fuse(
-        self, params: Params, all_items: jax.Array
+        self, params: Params, all_items: jax.Array,
+        graph: Optional[BipartiteGraph] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        pop_vec = self._pop_vec(params)
+        pop_vec = self._pop_vec(params, graph)
         gate_in = jnp.concatenate([all_items, pop_vec], axis=1)
         h = jax.nn.relu(gate_in @ params["gate_w1"] + params["gate_b1"])
         logit = h @ params["gate_w2"] + params["gate_b2"]  # (m,1)
@@ -174,12 +215,16 @@ class LightGCN:
 
     # ------------------------------------------------------------ embeddings
     def final_embeddings(
-        self, params: Params, dropout_key: Optional[jax.Array] = None
+        self,
+        params: Params,
+        dropout_key: Optional[jax.Array] = None,
+        graph: Optional[BipartiteGraph] = None,
+        ell: Optional[EllGraph] = None,
     ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
         """(all_users, item_embeddings_for_scoring, gates)."""
-        all_users, all_items = self.propagate(params, dropout_key)
+        all_users, all_items = self.propagate(params, dropout_key, graph, ell)
         if self.cfg.use_pop_gate:
-            items, gate = self._fuse(params, all_items)
+            items, gate = self._fuse(params, all_items, graph)
             return all_users, items, gate
         return all_users, all_items, None
 
@@ -191,12 +236,16 @@ class LightGCN:
         pos: jax.Array,
         neg: jax.Array,
         dropout_key: Optional[jax.Array] = None,
+        graph: Optional[BipartiteGraph] = None,
+        ell: Optional[EllGraph] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Returns (loss, aux) where loss = BPR − ent_coeff·entropy and
         aux['reg'] is the L2 term the trainer scales by --decay, exactly
         as the reference splits them (code/model.py:162-183 +
         code/utils.py:53-64)."""
-        all_users, items, gate = self.final_embeddings(params, dropout_key)
+        all_users, items, gate = self.final_embeddings(
+            params, dropout_key, graph, ell
+        )
         u = all_users[users]
         pe = items[pos]
         ne = items[neg]

@@ -18,8 +18,8 @@ from gsrs_tpu.models.lightgcn import LightGCN
 
 
 class PureMF(LightGCN):
-    def __init__(self, cfg: ModelConfig, graph: BipartiteGraph, i2i=None):
+    def __init__(self, cfg: ModelConfig, graph: BipartiteGraph, i2i=None, ell=None):
         cfg = dataclasses.replace(
             cfg, num_layers=0, use_item_item=False, dropout=False
         )
-        super().__init__(cfg, graph, i2i=None)
+        super().__init__(cfg, graph, i2i=None, ell=None)

@@ -12,6 +12,7 @@ from gsrs_tpu.config import ModelConfig
 from gsrs_tpu.data.adjacency import BipartiteGraph
 from gsrs_tpu.models.lightgcn import ItemItemGraph, LightGCN
 from gsrs_tpu.models.mf import PureMF
+from gsrs_tpu.ops.ell import EllGraph
 
 MODELS = {
     "lgn": LightGCN,
@@ -23,10 +24,11 @@ def build_model(
     cfg: ModelConfig,
     graph: BipartiteGraph,
     i2i: Optional[ItemItemGraph] = None,
+    ell: Optional[EllGraph] = None,
 ) -> LightGCN:
     if cfg.model not in MODELS:
         raise ValueError(
             f"model '{cfg.model}' is not registered; available: "
             f"{sorted(MODELS)} (cf. reference code/register.py:50-55)"
         )
-    return MODELS[cfg.model](cfg, graph, i2i)
+    return MODELS[cfg.model](cfg, graph, i2i, ell)

@@ -1,0 +1,105 @@
+"""Distributed training + eval steps over a (data, model) mesh.
+
+GSPMD-style: the single-chip jitted step is annotated with NamedShardings
+at the jit boundary and XLA inserts the collectives (all-gather of
+frontier embedding rows for the edge-partitioned SpMM, psum of
+data-parallel gradients, reduce-scatter back to table shards). The
+single-chip path is the degenerate 1×1 mesh of the same code.
+
+No reference counterpart (SURVEY.md §2: the reference has no distributed
+layer at all)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gsrs_tpu.data.adjacency import BipartiteGraph
+from gsrs_tpu.models.lightgcn import LightGCN, Params
+from gsrs_tpu.parallel.sharding import GraphShardings
+
+
+def make_train_step(
+    model: LightGCN,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    decay: float,
+) -> Callable:
+    """Build the jitted sharded train step:
+    (params, opt_state, users, pos, neg) → (params, opt_state, loss).
+
+    Batch arrays come in sharded over 'data'; tables live row-sharded over
+    'model'. The loss is a global mean — GSPMD turns the batch-mean grad
+    into a psum over the data axis automatically."""
+    sh = GraphShardings(mesh)
+    batch_s = sh.batch_spec()
+    rep = sh.replicated()
+
+    def step(params, opt_state, graph, ell, users, pos, neg):
+        def loss_fn(p):
+            loss, aux = model.bpr_loss(p, users, pos, neg, None, graph, ell)
+            return loss + decay * aux["reg"], aux
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def compile_for(params, opt_state):
+        pspec = sh.params_spec(params)
+        ospec = sh.opt_state_spec(opt_state, params)
+        # ELL tables: replicated for now (row-sharded layout is a follow-up;
+        # GSPMD still shards the compute via the table/batch shardings).
+        ell_spec = jax.tree_util.tree_map(lambda _: rep, model.ell)
+        return jax.jit(
+            step,
+            in_shardings=(
+                pspec,
+                ospec,
+                sh.graph_spec(model.graph),
+                ell_spec,
+                batch_s,
+                batch_s,
+                batch_s,
+            ),
+            out_shardings=(pspec, ospec, rep),
+            donate_argnums=(0, 1),
+        )
+
+    return compile_for
+
+
+def make_eval_scores_fn(
+    model: LightGCN, mesh: Mesh
+) -> Callable:
+    """Sharded full-catalog scoring + top-k.
+
+    Final embeddings are computed once; the item table stays row-sharded
+    over 'model', the user batch is sharded over 'data'. Scores (B, m)
+    are sharded (data, model); lax.top_k over the sharded catalog axis
+    makes GSPMD do a local-topk + gather merge."""
+    sh = GraphShardings(mesh)
+
+    def scores_topk(all_users, items, users, train_rows, k: int):
+        from gsrs_tpu.ops.topk import masked_topk
+
+        u_emb = all_users[users]
+        vals, idx = masked_topk(u_emb, items, train_rows, k)
+        return vals, idx
+
+    return jax.jit(
+        scores_topk,
+        static_argnums=(4,),
+        in_shardings=(
+            NamedSharding(mesh, P("model", None)),
+            NamedSharding(mesh, P("model", None)),
+            sh.batch_spec(),
+            sh.batch_spec(),
+        ),
+        out_shardings=(sh.batch_spec(), sh.batch_spec()),
+    )

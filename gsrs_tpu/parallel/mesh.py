@@ -1,0 +1,55 @@
+"""Device mesh construction and multi-host runtime init.
+
+The distributed layer has no reference counterpart (the reference is a
+single-process, single-device trainer — SURVEY.md §2 parallelism
+inventory); this is the TPU-native replacement for what a GPU port would
+build on NCCL/torch.distributed: the JAX runtime over ICI/DCN with a
+(data, model) mesh. The ``data`` axis shards the BPR batch (gradient
+psum); the ``model`` axis shards embedding-table rows and the item
+catalog (all-gather for propagation frontiers, sharded top-k merge for
+retrieval)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from gsrs_tpu.config import ParallelConfig
+
+
+def distributed_init() -> None:
+    """Initialize the multi-host JAX runtime when launched under a
+    multi-host coordinator (no-op on a single host). Controlled via the
+    standard JAX env vars; safe to call unconditionally."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    cfg: Optional[ParallelConfig] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+    data_axis: Optional[int] = None,
+    model_axis: Optional[int] = None,
+) -> Mesh:
+    cfg = cfg or ParallelConfig()
+    data_axis = cfg.data_axis if data_axis is None else data_axis
+    model_axis = cfg.model_axis if model_axis is None else model_axis
+    devices = list(devices if devices is not None else jax.devices())
+    need = data_axis * model_axis
+    if need > len(devices):
+        raise ValueError(
+            f"mesh {data_axis}x{model_axis} needs {need} devices, "
+            f"have {len(devices)}"
+        )
+    dev_array = np.asarray(devices[:need]).reshape(data_axis, model_axis)
+    return Mesh(dev_array, cfg.axis_names)
+
+
+def single_device_mesh() -> Mesh:
+    """The degenerate 1×1 mesh: single-chip training is just the
+    distributed path with trivial collectives."""
+    return make_mesh(ParallelConfig(data_axis=1, model_axis=1))

@@ -1,0 +1,78 @@
+"""Orbax checkpointing with the reference's three save streams.
+
+Reference policy (code/main.py:56-87,151-166,201-212,238-242):
+- per-epoch ``last`` checkpoint,
+- ``best-epoch<N>`` on NDCG improvement, with optional keep-top-K pruning,
+- periodic legacy-named saves every --save_every epochs,
+- resume chain: explicit --resume_path → last → legacy file,
+
+all written atomically. Here each stream is an Orbax PyTree checkpoint
+directory holding {params, opt_state, epoch, best_metric}; Orbax already
+writes atomically (tmp dir + rename), matching the reference's
+tmp+os.replace discipline. `legacy_name` reproduces the reference's
+``lgn-<dataset>-<layers>-<dim>`` naming (code/utils.py:123-132)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def legacy_name(model: str, dataset: str, num_layers: int, dim: int) -> str:
+    return f"{model}-{dataset}-{num_layers}-{dim}"
+
+
+class CheckpointManager:
+    def __init__(self, checkpoint_dir: str):
+        self.dir = os.path.abspath(checkpoint_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ----------------------------------------------------------------- save
+    def _save(self, path: str, state: Dict[str, Any]) -> None:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+
+    def save_last(self, state: Dict[str, Any]) -> None:
+        self._save(os.path.join(self.dir, "last"), state)
+
+    def save_best(self, state: Dict[str, Any], epoch: int, keep_topk: int = 0) -> None:
+        self._save(os.path.join(self.dir, f"best-epoch{epoch}"), state)
+        if keep_topk > 0:
+            bests = sorted(
+                glob.glob(os.path.join(self.dir, "best-epoch*")),
+                key=lambda p: int(re.search(r"best-epoch(\d+)", p).group(1)),
+            )
+            for stale in bests[:-keep_topk]:
+                shutil.rmtree(stale, ignore_errors=True)
+
+    def save_periodic(self, state: Dict[str, Any], name: str) -> None:
+        self._save(os.path.join(self.dir, name), state)
+
+    # -------------------------------------------------------------- restore
+    def restore(self, path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+        return self._ckptr.restore(os.path.abspath(path), template)
+
+    def resolve_resume_path(
+        self, resume_path: Optional[str], legacy: Optional[str] = None
+    ) -> Optional[str]:
+        """Reference resume chain (code/main.py:151-166): explicit path,
+        then <dir>/last, then the legacy-named checkpoint."""
+        candidates = []
+        if resume_path:
+            candidates.append(resume_path)
+        candidates.append(os.path.join(self.dir, "last"))
+        if legacy:
+            candidates.append(os.path.join(self.dir, legacy))
+        for c in candidates:
+            if c and os.path.isdir(c):
+                return c
+        return None

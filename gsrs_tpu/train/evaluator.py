@@ -1,0 +1,115 @@
+"""Full-catalog top-k evaluation engine.
+
+The reference re-runs the whole K-layer propagation for every 100-user
+test batch (~300 full graph sweeps per Gowalla eval, reference
+code/Procedure.py:162-183) and computes metrics in a serial per-user
+Python loop (code/Procedure.py:186-188). Here:
+
+- propagation runs ONCE per eval,
+- users are scored in large static-shaped batches (one jitted step:
+  gather users → (B, m) matmul on the MXU → bitset mask → lax.top_k →
+  vectorized metric sums),
+- the padded final batch is neutralized with zero user-weights,
+
+so a Gowalla eval is ~15 jitted steps instead of ~300 propagations +
+30k Python iterations. Metric math matches reference
+code/utils.py:173-217 exactly (see gsrs_tpu.ops.metrics golden tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsrs_tpu.config import EvalConfig
+from gsrs_tpu.data.dataset import InteractionData
+from gsrs_tpu.models.lightgcn import LightGCN, Params
+from gsrs_tpu.ops.bitset import build_bitset
+from gsrs_tpu.ops.metrics import batch_metrics, topk_labels
+from gsrs_tpu.ops.topk import masked_topk
+
+
+class Evaluator:
+    def __init__(self, data: InteractionData, model: LightGCN, cfg: EvalConfig):
+        self.cfg = cfg
+        self.model = model
+        self.max_k = max(cfg.topks)
+
+        test_users = data.test_users()
+        self.n_test_users = int(test_users.size)
+        B = cfg.test_batch
+        n_batches = max(1, -(-self.n_test_users // B))
+        padded = n_batches * B
+        self.user_batches = np.zeros(padded, dtype=np.int32)
+        self.user_batches[: self.n_test_users] = test_users
+        self.user_weights = np.zeros(padded, dtype=np.float32)
+        self.user_weights[: self.n_test_users] = 1.0
+        self.user_batches = self.user_batches.reshape(n_batches, B)
+        self.user_weights = self.user_weights.reshape(n_batches, B)
+
+        gt = np.zeros(data.n_users, dtype=np.float32)
+        for u, items in data.test_dict.items():
+            gt[u] = len(items)
+        self.gt_counts = gt
+
+        self.train_bitset = jnp.asarray(
+            build_bitset(
+                data.train_users, data.train_items, data.n_users, data.m_items
+            )
+        )
+        if data.test_dict:
+            te_u = np.concatenate(
+                [np.full(len(v), k, dtype=np.int64) for k, v in data.test_dict.items()]
+            )
+            te_i = np.concatenate([np.asarray(v) for v in data.test_dict.values()])
+        else:
+            te_u = te_i = np.zeros(0, np.int64)
+        self.test_bitset = jnp.asarray(
+            build_bitset(te_u, te_i, data.n_users, data.m_items)
+        )
+
+        self._batch_fn = jax.jit(self._eval_batch)
+
+    def _eval_batch(
+        self,
+        all_users: jax.Array,
+        items: jax.Array,
+        train_bitset: jax.Array,  # (n_users, W) — passed as arg, NOT closed
+        test_bitset: jax.Array,  # over: closure constants embed ~150MB of
+        users: jax.Array,  # (B,)   bitset into the HLO upload
+        weights: jax.Array,  # (B,)
+        gt_counts: jax.Array,  # (B,)
+    ) -> Dict[str, jax.Array]:
+        u_emb = all_users[users]
+        train_rows = train_bitset[users]
+        _, top_items = masked_topk(u_emb, items, train_rows, self.max_k)
+        labels = topk_labels(top_items, test_bitset, users)
+        return batch_metrics(labels, gt_counts, weights, self.cfg.topks)
+
+    def run(self, params: Params) -> Dict[str, float]:
+        """One propagation + batched scoring; returns mean metrics over the
+        real (unpadded) test users, exactly the reference's aggregation
+        (reference code/Procedure.py:191-192)."""
+        all_users, items, _ = jax.jit(
+            lambda p, g, e: self.model.final_embeddings(p, graph=g, ell=e)
+        )(params, self.model.graph, self.model.ell)
+        totals: Dict[str, float] = {}
+        for users, weights in zip(self.user_batches, self.user_weights):
+            sums = self._batch_fn(
+                all_users,
+                items,
+                self.train_bitset,
+                self.test_bitset,
+                jnp.asarray(users),
+                jnp.asarray(weights),
+                jnp.asarray(self.gt_counts[users]),
+            )
+            for k, v in sums.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        denom = max(self.n_test_users, 1)
+        return {k: v / denom for k, v in totals.items()}

@@ -1,0 +1,282 @@
+"""Training driver.
+
+The reference's epoch loop (code/main.py:185-242) round-trips to the host
+per minibatch: C++ sampling on the host (~16 s/epoch of the ~31-36 s
+Gowalla epoch, BASELINE.md), tensor transfer, ~400 optimizer steps each
+syncing loss back (code/utils.py:64). Here an epoch is TWO device
+dispatches: one jitted epoch-sampler call (on-device bitset rejection) and
+one jitted `lax.scan` over all minibatches with donated params/opt-state —
+no host↔device traffic until the scalar epoch-mean loss is read.
+
+Loop semantics match the reference: eval every `eval_every` epochs with
+best-NDCG checkpointing (code/main.py:187-212), per-epoch `last` saves,
+periodic legacy-style saves (code/main.py:238-242), CSV/TB logging, and a
+resume chain."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gsrs_tpu.config import ExperimentConfig
+from gsrs_tpu.data.adjacency import BipartiteGraph
+from gsrs_tpu.data.dataset import InteractionData
+from gsrs_tpu.models.lightgcn import LightGCN, Params
+from gsrs_tpu.ops.sampling import SamplerState, make_sampler_state, sample_epoch
+from gsrs_tpu.train.checkpoint import CheckpointManager, legacy_name
+from gsrs_tpu.train.evaluator import Evaluator
+from gsrs_tpu.train.logging import (
+    TensorboardWriter,
+    make_train_csv,
+    make_valid_csv,
+)
+from gsrs_tpu.train.optim import make_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    epoch: int = dataclasses.field(metadata=dict(static=True), default=0)
+    best_metric: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        data: InteractionData,
+        graph: BipartiteGraph,
+        model: LightGCN,
+        run_eval: bool = True,
+    ):
+        self.cfg = cfg
+        self.data = data
+        # Move graph constants to device ONCE: these pytrees are passed as
+        # jit arguments every epoch, and numpy-backed leaves would re-upload
+        # tens of MB through the host on every call.
+        self.graph = jax.device_put(graph)
+        model.graph = self.graph
+        if model.ell is not None:
+            model.ell = jax.device_put(model.ell)
+        self.model = model
+        self.sampler_state = jax.device_put(make_sampler_state(data))
+        self.steps_per_epoch = max(1, -(-data.train_size // cfg.train.batch_size))
+        self.optimizer, self.schedule = make_optimizer(
+            cfg.train, self.steps_per_epoch
+        )
+        self.evaluator = (
+            Evaluator(data, model, cfg.eval) if (run_eval and data.test_dict) else None
+        )
+        self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+        # Triplets sampled per epoch; None = train_size (reference semantics,
+        # code/utils.py:68-81). Settable for quick smoke runs.
+        self.epoch_samples: Optional[int] = None
+        self._epoch_fn = None  # compiled lazily
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.train.seed if seed is None else seed
+        params = self.model.init_params(jax.random.key(seed))
+        return TrainState(params=params, opt_state=self.optimizer.init(params))
+
+    # ------------------------------------------------------------ train step
+    def _build_epoch_fn(self):
+        model, opt = self.model, self.optimizer
+        decay = self.cfg.train.decay
+        use_dropout = self.cfg.model.dropout
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def run_epoch(params, opt_state, graph, ell, users_b, pos_b, neg_b, drop_keys):
+            # graph/ell are jit arguments (not closures) so their edge
+            # arrays are device buffers, never HLO constants.
+            def body(carry, xs):
+                params, opt_state = carry
+                users, pos, neg, drop_key = xs
+
+                def loss_fn(p):
+                    loss, aux = model.bpr_loss(
+                        p,
+                        users,
+                        pos,
+                        neg,
+                        drop_key if use_dropout else None,
+                        graph,
+                        ell,
+                    )
+                    return loss + decay * aux["reg"], aux
+
+                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (users_b, pos_b, neg_b, drop_keys)
+            )
+            return params, opt_state, jnp.mean(losses)
+
+        return run_epoch
+
+    def train_epoch(self, state: TrainState) -> Tuple[TrainState, float]:
+        """One full epoch: on-device sampling + scanned optimizer steps.
+
+        Sampling draws train_size triplets rounded up to full batches
+        (same expected coverage as reference code/utils.py:68-81, without
+        the ragged tail of code/utils.py:135-139)."""
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+        epoch_key = jax.random.fold_in(
+            jax.random.key(self.cfg.train.seed), state.epoch
+        )
+        k_sample, k_drop = jax.random.split(epoch_key)
+        users_b, pos_b, neg_b = sample_epoch(
+            k_sample,
+            self.sampler_state,
+            self.epoch_samples or self.data.train_size,
+            self.cfg.train.batch_size,
+        )
+        drop_keys = jax.random.split(k_drop, users_b.shape[0])
+        params, opt_state, mean_loss = self._epoch_fn(
+            state.params,
+            state.opt_state,
+            self.graph,
+            self.model.ell,
+            users_b,
+            pos_b,
+            neg_b,
+            drop_keys,
+        )
+        return (
+            TrainState(params, opt_state, state.epoch + 1, state.best_metric),
+            float(mean_loss),
+        )
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, state: TrainState) -> Dict[str, float]:
+        assert self.evaluator is not None, "dataset has no test split"
+        return self.evaluator.run(state.params)
+
+    def current_lr(self, state: TrainState) -> float:
+        return float(self.schedule(state.epoch * self.steps_per_epoch))
+
+    # ------------------------------------------------------------ checkpoint
+    def _ckpt_state(self, state: TrainState) -> Dict[str, Any]:
+        return {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "epoch": np.asarray(state.epoch, np.int64),
+            "best_metric": np.asarray(state.best_metric, np.float64),
+        }
+
+    def save_last(self, state: TrainState) -> None:
+        self.ckpt.save_last(self._ckpt_state(state))
+
+    def maybe_resume(self, state: TrainState) -> TrainState:
+        path = self.ckpt.resolve_resume_path(
+            self.cfg.train.resume_path,
+            legacy_name(
+                self.cfg.model.model,
+                self.data.name,
+                self.cfg.model.num_layers,
+                self.cfg.model.embedding_dim,
+            ),
+        )
+        if path is None:
+            return state
+        restored = self.ckpt.restore(path, self._ckpt_state(state))
+        print(f"[resume] restored checkpoint from {path}")
+        return TrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            epoch=int(restored["epoch"]),
+            best_metric=float(restored["best_metric"]),
+        )
+
+    # ------------------------------------------------------------------ fit
+    def fit(
+        self,
+        state: Optional[TrainState] = None,
+        epochs: Optional[int] = None,
+        log_dir: Optional[str] = None,
+        verbose: bool = True,
+    ) -> TrainState:
+        """Full training run with the reference loop semantics
+        (code/main.py:185-242): eval every eval_every epochs (and epoch 0),
+        best-NDCG checkpoints, per-epoch last saves, periodic legacy saves."""
+        t_cfg = self.cfg.train
+        epochs = t_cfg.epochs if epochs is None else epochs
+        state = state or self.init_state()
+        if t_cfg.resume:
+            state = self.maybe_resume(state)
+
+        train_csv = make_train_csv(t_cfg.checkpoint_dir)
+        valid_csv = make_valid_csv(t_cfg.checkpoint_dir, self.cfg.eval.topks)
+        tb = TensorboardWriter(log_dir if t_cfg.tensorboard else None, t_cfg.comment)
+        main_k = max(self.cfg.eval.topks)
+
+        try:
+            while state.epoch < epochs:
+                if (
+                    self.evaluator is not None
+                    and state.epoch % t_cfg.eval_every == 0
+                ):
+                    t0 = time.time()
+                    metrics = self.evaluate(state)
+                    eval_sec = time.time() - t0
+                    ndcg = metrics.get(f"ndcg@{main_k}", 0.0)
+                    row = {
+                        "epoch": state.epoch,
+                        "time_sec": f"{eval_sec:.3f}",
+                        "lr": self.current_lr(state),
+                    }
+                    row.update({k: f"{v:.6f}" for k, v in metrics.items()})
+                    valid_csv.append(row)
+                    tb.eval_metrics(metrics, self.cfg.eval.topks, state.epoch)
+                    if verbose:
+                        print(f"[eval e{state.epoch}] " + " ".join(
+                            f"{k}={v:.5f}" for k, v in sorted(metrics.items())
+                        ))
+                    if ndcg > state.best_metric:
+                        state = dataclasses.replace(state, best_metric=ndcg)
+                        self.ckpt.save_best(
+                            self._ckpt_state(state), state.epoch, t_cfg.keep_topk
+                        )
+
+                t0 = time.time()
+                state, loss = self.train_epoch(state)
+                dt = time.time() - t0
+                lr = self.current_lr(state)
+                train_csv.append(
+                    {
+                        "epoch": state.epoch,
+                        "time_sec": f"{dt:.3f}",
+                        "train_loss": f"{loss:.6f}",
+                        "lr": lr,
+                    }
+                )
+                tb.scalar("Train/loss", loss, state.epoch)
+                if verbose:
+                    print(f"[epoch {state.epoch}/{epochs}] loss={loss:.5f} ({dt:.2f}s)")
+                self.save_last(state)
+                if t_cfg.save_every and state.epoch % t_cfg.save_every == 0:
+                    self.ckpt.save_periodic(
+                        self._ckpt_state(state),
+                        legacy_name(
+                            self.cfg.model.model,
+                            self.data.name,
+                            self.cfg.model.num_layers,
+                            self.cfg.model.embedding_dim,
+                        ),
+                    )
+        finally:
+            tb.close()
+        return state

@@ -8,7 +8,49 @@ forced CPU device counts."""
 import os
 
 # Hard override: the driver environment pins JAX_PLATFORMS=axon (the real
-# TPU tunnel); tests always run on a virtual 8-device CPU mesh.
+# TPU tunnel), and /root/.axon_site/sitecustomize.py registers the axon
+# PJRT plugin + remote-compile hooks whenever PALLAS_AXON_POOL_IPS is set.
+# Those hooks run at interpreter start — before this file — and route every
+# XLA compile (even CPU) through the tunnel's HTTP compile service, making
+# CPU tests pathologically slow. In-process env edits are too late, so if
+# we detect the contaminated interpreter, re-exec pytest with a clean env.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    import stat
+    import sys
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # falsy → sitecustomize skips register
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    # By conftest-load time pytest's capture manager has already dup2'd
+    # fd 1/2 into its own temp files, which die with this process — the
+    # re-exec'd run would be silent. Point fd 1/2 back at the original
+    # terminal/pipe (the lowest inherited pipe/tty fd) so output survives.
+    try:
+        for fd in sorted(int(x) for x in os.listdir("/proc/self/fd")):
+            if fd <= 2:
+                continue
+            mode = os.fstat(fd).st_mode
+            try:
+                target = os.readlink(f"/proc/self/fd/{fd}")
+            except OSError:
+                target = ""
+            # the original stdout/stderr are a pipe or a tty; /dev/null is
+            # a chr device too but means "discarded on purpose"
+            if stat.S_ISFIFO(mode) or (
+                stat.S_ISCHR(mode) and not target.startswith("/dev/null")
+            ):
+                os.dup2(fd, 1)
+                os.dup2(fd, 2)
+                break
+    except OSError:
+        pass
+    os.execve(
+        sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env
+    )
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -8,6 +8,7 @@ from gsrs_tpu.ops.sampling import make_sampler_state, sample_triplets
 from gsrs_tpu.ops.topk import masked_topk
 from gsrs_tpu.ops.metrics import topk_labels, batch_metrics
 from gsrs_tpu.ops.bitset import build_bitset
+from gsrs_tpu.ops.ell import ell_from_interactions
 
 rng = np.random.default_rng(7)
 n, m, C = 200, 300, 5
@@ -22,7 +23,7 @@ for usr in range(0, n, 2):
 u, i = np.nonzero(mask)
 data = InteractionData("drive", n, m, u.astype(np.int64), i.astype(np.int64), test_dict)
 graph = build_graph(data, edge_pad_multiple=1024)
-model = build_model(ModelConfig(num_layers=2, embedding_dim=16), graph)
+model = build_model(ModelConfig(num_layers=2, embedding_dim=16), graph, ell=ell_from_interactions(data))
 params = model.init_params(jax.random.key(0))
 state = make_sampler_state(data)
 opt = optax.adam(5e-2); opt_state = opt.init(params)
