@@ -1,0 +1,82 @@
+"""Driver benchmark: Gowalla LightGCN epoch wall time on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's published Gowalla epoch time of ~31-36 s/epoch
+(3 layers, dim 64, batch 2048, of which ~16 s is host-side C++ sampling —
+BASELINE.md, reference LightGCN_work/README.md:48-63). We use the
+midpoint 33.5 s. ``vs_baseline`` is the speedup factor
+(baseline_seconds / our_seconds; >1 = faster than the reference).
+
+The measured config matches the reference's standard run: 3 layers,
+dim 64, batch 2048, full 810,128-interaction epochs, uniform negative
+sampling — sampling is *included* in our epoch time (it runs on-device).
+bf16 propagation is the framework's TPU-native default for this bench;
+metric parity between fp32/bf16 was validated (identical recall/ndcg to
+5 decimals on the epoch-2 eval oracle).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_EPOCH_SECONDS = 33.5
+N_TIMED_EPOCHS = 3
+
+
+def ensure_gowalla() -> str:
+    ddir = os.path.join(REPO, "data", "gowalla")
+    if not os.path.exists(os.path.join(ddir, "train.txt")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "recover_gowalla.py")],
+            check=True,
+        )
+    return ddir
+
+
+def main() -> None:
+    ddir = ensure_gowalla()
+
+    from gsrs_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
+    from gsrs_tpu.data.adjacency import build_graph
+    from gsrs_tpu.data.dataset import load_dataset
+    from gsrs_tpu.models.registry import build_model
+    from gsrs_tpu.ops.ell import ell_from_interactions
+    from gsrs_tpu.train.trainer import Trainer
+
+    data = load_dataset(ddir, name="gowalla")
+    graph = build_graph(data, cache_dir=ddir)
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_layers=3, embedding_dim=64, bf16_compute=True),
+        train=TrainConfig(batch_size=2048, tensorboard=False),
+    )
+    model = build_model(cfg.model, graph, ell=ell_from_interactions(data))
+    trainer = Trainer(cfg, data, graph, model, run_eval=False)
+    state = trainer.init_state()
+
+    # warm-up epoch (includes compile)
+    state, _ = trainer.train_epoch(state)
+    t0 = time.time()
+    for _ in range(N_TIMED_EPOCHS):
+        state, loss = trainer.train_epoch(state)
+    epoch_seconds = (time.time() - t0) / N_TIMED_EPOCHS
+
+    print(
+        json.dumps(
+            {
+                "metric": "gowalla_epoch_time",
+                "value": round(epoch_seconds, 3),
+                "unit": "s/epoch",
+                "vs_baseline": round(BASELINE_EPOCH_SECONDS / epoch_seconds, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
