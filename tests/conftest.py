@@ -37,11 +37,15 @@ if os.environ.get("PALLAS_AXON_POOL_IPS"):
                 target = os.readlink(f"/proc/self/fd/{fd}")
             except OSError:
                 target = ""
-            # the original stdout/stderr are a pipe or a tty; /dev/null is
-            # a chr device too but means "discarded on purpose"
-            if stat.S_ISFIFO(mode) or (
-                stat.S_ISCHR(mode) and not target.startswith("/dev/null")
-            ):
+            # The original stdout/stderr are a pipe, tty, or a redirect to a
+            # regular file. Exclude /dev/null ("discarded on purpose") and
+            # pytest's own capture temp files (unlinked → "(deleted)").
+            ok = (
+                stat.S_ISFIFO(mode)
+                or (stat.S_ISCHR(mode) and not target.startswith("/dev/null"))
+                or (stat.S_ISREG(mode) and "(deleted)" not in target)
+            )
+            if ok:
                 os.dup2(fd, 1)
                 os.dup2(fd, 2)
                 break

@@ -1,0 +1,137 @@
+"""Distributed-layer tests on the 8-device virtual CPU mesh: the sharded
+train step must agree numerically with the single-device step, and the
+sharded eval top-k with the unsharded one."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gsrs_tpu.config import ModelConfig, TrainConfig
+from gsrs_tpu.data.adjacency import build_graph
+from gsrs_tpu.data.synthetic import clustered
+from gsrs_tpu.models.registry import build_model
+from gsrs_tpu.ops.bitset import build_bitset
+from gsrs_tpu.ops.ell import ell_from_interactions
+from gsrs_tpu.ops.sampling import make_sampler_state, sample_triplets
+from gsrs_tpu.parallel.dist_train import make_eval_scores_fn, make_train_step
+from gsrs_tpu.parallel.mesh import make_mesh
+from gsrs_tpu.parallel.sharding import GraphShardings
+from gsrs_tpu.train.optim import make_optimizer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = clustered(64, 96, n_clusters=4, seed=1)
+    graph = build_graph(data, edge_pad_multiple=256)
+    model = build_model(
+        ModelConfig(num_layers=2, embedding_dim=8),
+        graph,
+        ell=ell_from_interactions(data),
+    )
+    params = model.init_params(jax.random.key(0))
+    optimizer, _ = make_optimizer(TrainConfig(lr=1e-2), steps_per_epoch=1)
+    B = 64
+    state = make_sampler_state(data)
+    users, pos, neg = sample_triplets(jax.random.key(7), state, B)
+    return data, graph, model, params, optimizer, (users, pos, neg)
+
+
+def _single_device_step(model, optimizer, params, batch, decay=1e-4):
+    users, pos, neg = batch
+
+    def loss_fn(p):
+        loss, aux = model.bpr_loss(p, users, pos, neg)
+        return loss + decay * aux["reg"], aux
+
+    opt_state = optimizer.init(params)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), float(loss)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_step_matches_single_device(setup, mesh_shape):
+    data, graph, model, params, optimizer, batch = setup
+    ref_params, ref_loss = _single_device_step(model, optimizer, params, batch)
+
+    mesh = make_mesh(data_axis=mesh_shape[0], model_axis=mesh_shape[1])
+    sh = GraphShardings(mesh)
+    # copy before placing: device_put to a (partially) replicated sharding
+    # can alias the source buffer, and the donated train step would delete
+    # it out from under the shared fixture
+    p_sharded = sh.place_params(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    )
+    model_sh = build_model(model.cfg, sh.place_graph(graph), ell=jax.device_put(model.ell))
+    opt_state = optimizer.init(p_sharded)
+    step = make_train_step(model_sh, optimizer, mesh, decay=1e-4)(
+        p_sharded, opt_state
+    )
+    batch_s = sh.batch_spec()
+    sharded_batch = tuple(jax.device_put(b, batch_s) for b in batch)
+    new_params, _, loss = step(
+        p_sharded, opt_state, model_sh.graph, model_sh.ell, *sharded_batch
+    )
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["user_emb"]),
+        np.asarray(ref_params["user_emb"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["item_emb"]),
+        np.asarray(ref_params["item_emb"]),
+        atol=1e-5,
+    )
+
+
+def test_sharded_eval_topk_matches_unsharded(setup):
+    from gsrs_tpu.ops.topk import masked_topk
+
+    data, graph, model, params, _, _ = setup
+    all_users, items, _ = model.final_embeddings(params)
+    tb = jnp.asarray(
+        build_bitset(data.train_users, data.train_items, data.n_users, data.m_items)
+    )
+    users = jnp.arange(32, dtype=jnp.int32)
+    ref_scores, ref_items = masked_topk(all_users[users], items, tb[users], 10)
+
+    mesh = make_mesh(data_axis=2, model_axis=4)
+    sh = GraphShardings(mesh)
+    eval_fn = make_eval_scores_fn(model, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    row_s = NamedSharding(mesh, P("model", None))
+    got_scores, got_items = eval_fn(
+        jax.device_put(all_users, row_s),
+        jax.device_put(items, row_s),
+        jax.device_put(users, sh.batch_spec()),
+        jax.device_put(tb[users], sh.batch_spec()),
+        10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(ref_scores), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got_items), np.asarray(ref_items))
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out))

@@ -1,0 +1,63 @@
+"""Evaluator vs a slow numpy oracle that transcribes the reference eval
+loop (reference code/Procedure.py:162-192): full-catalog scores, train
+positives masked, topk, per-user metrics, mean over test users."""
+
+import numpy as np
+
+from gsrs_tpu.config import EvalConfig, ModelConfig
+from gsrs_tpu.data.adjacency import build_graph
+from gsrs_tpu.models.registry import build_model
+from gsrs_tpu.ops.ell import ell_from_interactions
+from gsrs_tpu.train.evaluator import Evaluator
+
+import jax
+
+
+def numpy_eval_oracle(data, all_users, all_items, k):
+    """Transcription of reference Test() + metric kernels."""
+    recalls, precs, ndcgs = [], [], []
+    for u, gt in sorted(data.test_dict.items()):
+        scores = all_users[u] @ all_items.T
+        scores[data.positives_of(u)] = -(1 << 10)
+        top = np.argsort(-scores)[:k]
+        r = np.isin(top, gt).astype(np.float64)
+        recalls.append(r.sum() / len(gt))
+        precs.append(r.sum() / k)
+        ideal = np.zeros(k)
+        ideal[: min(len(gt), k)] = 1
+        idcg = (ideal / np.log2(np.arange(2, k + 2))).sum()
+        dcg = (r / np.log2(np.arange(2, k + 2))).sum()
+        ndcgs.append(0.0 if idcg == 0 else dcg / idcg)
+    return (
+        float(np.mean(recalls)),
+        float(np.mean(precs)),
+        float(np.mean(ndcgs)),
+    )
+
+
+def test_evaluator_matches_numpy_oracle(tiny_data):
+    cfg = ModelConfig(num_layers=2, embedding_dim=16)
+    graph = build_graph(tiny_data, edge_pad_multiple=256)
+    model = build_model(cfg, graph, ell=ell_from_interactions(tiny_data))
+    params = model.init_params(jax.random.key(0))
+    ev = Evaluator(tiny_data, model, EvalConfig(test_batch=7, topks=(5, 20)))
+    got = ev.run(params)
+
+    au, items, _ = model.final_embeddings(params)
+    au, items = np.asarray(au), np.asarray(items)
+    for k in (5, 20):
+        rec, prec, ndcg = numpy_eval_oracle(tiny_data, au, items, k)
+        np.testing.assert_allclose(got[f"recall@{k}"], rec, atol=1e-5)
+        np.testing.assert_allclose(got[f"precision@{k}"], prec, atol=1e-5)
+        np.testing.assert_allclose(got[f"ndcg@{k}"], ndcg, atol=1e-5)
+
+
+def test_evaluator_batch_size_invariance(tiny_data):
+    cfg = ModelConfig(num_layers=1, embedding_dim=8)
+    graph = build_graph(tiny_data, edge_pad_multiple=256)
+    model = build_model(cfg, graph, ell=ell_from_interactions(tiny_data))
+    params = model.init_params(jax.random.key(1))
+    r1 = Evaluator(tiny_data, model, EvalConfig(test_batch=3, topks=(10,))).run(params)
+    r2 = Evaluator(tiny_data, model, EvalConfig(test_batch=64, topks=(10,))).run(params)
+    for key in r1:
+        np.testing.assert_allclose(r1[key], r2[key], atol=1e-6)

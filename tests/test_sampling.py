@@ -1,0 +1,113 @@
+"""Sampler contract tests: validity (positives from the user's list,
+negatives never positives — reference code/sources/sampling.cpp:27-56
+semantics), distribution sanity, and the python fallback."""
+
+import jax
+import numpy as np
+
+from gsrs_tpu.ops.bitset import build_bitset, bitset_lookup, bitset_row_mask
+from gsrs_tpu.ops.sampling import (
+    make_sampler_state,
+    sample_epoch,
+    sample_triplets,
+    sample_triplets_python,
+)
+
+
+def _dense_mask(data):
+    m = np.zeros((data.n_users, data.m_items), bool)
+    m[data.train_users, data.train_items] = True
+    return m
+
+
+def test_device_sampler_validity(tiny_data):
+    state = make_sampler_state(tiny_data)
+    users, pos, neg = map(
+        np.asarray, sample_triplets(jax.random.key(0), state, 4096)
+    )
+    mask = _dense_mask(tiny_data)
+    assert mask[users, pos].all(), "sampled positive not in user's positives"
+    assert not mask[users, neg].any(), "sampled negative is a train positive"
+    assert (users >= 0).all() and (users < tiny_data.n_users).all()
+    assert (neg >= 0).all() and (neg < tiny_data.m_items).all()
+
+
+def test_device_sampler_uniformity(tiny_data):
+    """Users with positives should be drawn ~uniformly."""
+    state = make_sampler_state(tiny_data)
+    n_draw = 40000
+    users, _, _ = map(
+        np.asarray, sample_triplets(jax.random.key(1), state, n_draw)
+    )
+    counts = np.bincount(users, minlength=tiny_data.n_users)
+    valid = tiny_data.user_degrees > 0
+    expected = n_draw / valid.sum()
+    # chi-square-ish loose bound: all valid users within 40% of expected
+    assert counts[valid].min() > expected * 0.6
+    assert counts[valid].max() < expected * 1.4
+    assert counts[~valid].sum() == 0 if (~valid).any() else True
+
+
+def test_positive_uniform_over_user_list(tiny_data):
+    state = make_sampler_state(tiny_data)
+    users, pos, _ = map(
+        np.asarray, sample_triplets(jax.random.key(2), state, 60000)
+    )
+    # pick the highest-degree user and check its positives are all hit
+    u = int(np.argmax(tiny_data.user_degrees))
+    mine = pos[users == u]
+    if mine.size > 50:
+        hit = np.unique(mine)
+        expect = tiny_data.positives_of(u)
+        assert np.isin(hit, expect).all()
+        assert hit.size > 0.5 * expect.size
+
+
+def test_sample_epoch_shapes(tiny_data):
+    state = make_sampler_state(tiny_data)
+    u, p, n = sample_epoch(jax.random.key(0), state, epoch_size=1000, batch_size=256)
+    assert u.shape == (4, 256) and p.shape == (4, 256) and n.shape == (4, 256)
+
+
+def test_python_fallback_contract(tiny_data):
+    rng = np.random.default_rng(0)
+    S = sample_triplets_python(rng, tiny_data, 500)
+    assert S.ndim == 2 and S.shape[1] == 3
+    mask = _dense_mask(tiny_data)
+    assert mask[S[:, 0], S[:, 1]].all()
+    assert not mask[S[:, 0], S[:, 2]].any()
+
+
+# ------------------------------------------------------------------ bitset
+
+
+def test_bitset_lookup_exact(tiny_data):
+    bs = build_bitset(
+        tiny_data.train_users,
+        tiny_data.train_items,
+        tiny_data.n_users,
+        tiny_data.m_items,
+    )
+    mask = _dense_mask(tiny_data)
+    import jax.numpy as jnp
+
+    users = np.repeat(np.arange(tiny_data.n_users), tiny_data.m_items)
+    items = np.tile(np.arange(tiny_data.m_items), tiny_data.n_users)
+    got = np.asarray(
+        bitset_lookup(jnp.asarray(bs), jnp.asarray(users), jnp.asarray(items))
+    )
+    np.testing.assert_array_equal(got, mask[users, items])
+
+
+def test_bitset_row_mask(tiny_data):
+    import jax.numpy as jnp
+
+    bs = build_bitset(
+        tiny_data.train_users,
+        tiny_data.train_items,
+        tiny_data.n_users,
+        tiny_data.m_items,
+    )
+    rows = np.array([0, 3, 7])
+    got = np.asarray(bitset_row_mask(jnp.asarray(bs[rows]), tiny_data.m_items))
+    np.testing.assert_array_equal(got, _dense_mask(tiny_data)[rows])
