@@ -121,6 +121,34 @@ def sample_triplets_python(
     return np.asarray(rows, dtype=np.int64).reshape(-1, 3)
 
 
+def sample_triplets_host(
+    data: InteractionData, num_samples: int, seed: int = 2020
+) -> np.ndarray:
+    """Host-side sampling with the reference's compiled-path dispatch
+    (reference code/utils.py:68-81): native C++ sampler if the toolchain
+    is available, else the Python fallback. Returns (S, 3) int64 rows of
+    [user, pos, neg]. Note the native path follows the reference C++
+    round-robin-over-users semantics (code/sources/sampling.cpp:31-44),
+    the Python path the uniform-user semantics (code/utils.py:84-110)."""
+    from gsrs_tpu.native import load_native_sampler
+
+    native = load_native_sampler()
+    if native is not None:
+        native.seed(seed)
+        net = data.user_item_net
+        return native.sample_negative(
+            data.n_users,
+            data.m_items,
+            num_samples,
+            net.indptr,
+            net.indices,
+            neg_num=1,
+        )
+    return sample_triplets_python(
+        np.random.default_rng(seed), data, num_samples
+    )
+
+
 def sample_epoch(
     key: jax.Array, state: SamplerState, epoch_size: int, batch_size: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
