@@ -93,10 +93,14 @@ def _build_side(
     row_start = np.concatenate([[0], np.cumsum(degrees)]).astype(np.int64)
 
     active_rows = np.flatnonzero(degrees > 0)
-    # bucket width for each active row: next pow2 ≥ degree, ≥ min_width
-    widths = np.maximum(
-        min_width, 1 << np.ceil(np.log2(degrees[active_rows])).astype(np.int64)
-    )
+    # Bucket width per active row. Gathers are issue-rate bound on TPU
+    # (~300M rows/s regardless of dtype), so padded slots cost real time:
+    # use fine-grained widths (multiples of 8 up to 64, then powers of
+    # two) to keep padding waste ~1.1× instead of pow2's ~1.4×.
+    deg_active = degrees[active_rows]
+    fine = np.maximum(min_width, ((deg_active + 3) // 4) * 4)
+    coarse = 1 << np.ceil(np.log2(np.maximum(deg_active, 1))).astype(np.int64)
+    widths = np.where(deg_active <= 64, np.minimum(fine, 64), coarse)
     buckets = []
     concat_pos = np.full(n_rows, -1, dtype=np.int64)
     n_assembled = 0
