@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument(
+        "--topk_method",
+        type=str,
+        default="exact",
+        choices=["exact", "approx"],
+        help="eval top-k impl: exact lax.top_k or TPU-native approx_max_k",
+    )
+    p.add_argument("--topk_recall_target", type=float, default=0.98)
+    p.add_argument(
         "--epoch_samples",
         type=int,
         default=0,
@@ -153,6 +161,8 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             test_batch=args.testbatch,
             topks=topks_from_string(args.topks),
             multicore=bool(args.multicore),
+            topk_method=args.topk_method,
+            topk_recall_target=args.topk_recall_target,
         ),
         parallel=ParallelConfig(
             data_axis=args.data_axis, model_axis=args.model_axis

@@ -132,6 +132,11 @@ class EvalConfig:
     test_batch: int = 2048  # users scored per device step (ref default 100)
     topks: Tuple[int, ...] = (20,)
     multicore: bool = False  # accepted for parity; metrics are vectorized
+    # top-k implementation: 'exact' (lax.top_k, sort-based) or 'approx'
+    # (lax.approx_max_k, the TPU-native PartialReduce — much faster on
+    # wide catalogs at recall_target expected per-row recall)
+    topk_method: str = "exact"
+    topk_recall_target: float = 0.98
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,13 +42,34 @@ def mask_train_positives(
     return jnp.where(mask, NEG_INF, scores)
 
 
+def topk_scores(
+    scores: jax.Array, k: int, method: str = "exact", recall_target: float = 0.95
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-wise top-k with selectable implementation.
+
+    - 'exact': `jax.lax.top_k` — sort-based on TPU, exact but slow for
+      large catalogs (the reference's torch.topk equivalent,
+      code/Procedure.py:183).
+    - 'approx': `jax.lax.approx_max_k` — the TPU-native PartialReduce
+      two-phase top-k. Orders of magnitude faster on wide catalogs;
+      per-row recall of the true top-k ≥ recall_target in expectation.
+    """
+    if method == "approx":
+        return jax.lax.approx_max_k(
+            scores, k, recall_target=recall_target, aggregate_to_topk=True
+        )
+    return jax.lax.top_k(scores, k)
+
+
 def masked_topk(
     user_emb: jax.Array,
     item_emb: jax.Array,
     train_bitset_rows: jax.Array,
     k: int,
+    method: str = "exact",
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """→ (top scores (B,k), top item ids (B,k))."""
     scores = score_users(user_emb, item_emb)
     scores = mask_train_positives(scores, train_bitset_rows, item_emb.shape[0])
-    return jax.lax.top_k(scores, k)
+    return topk_scores(scores, k, method, recall_target)

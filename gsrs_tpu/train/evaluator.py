@@ -87,7 +87,14 @@ class Evaluator:
     ) -> Dict[str, jax.Array]:
         u_emb = all_users[users]
         train_rows = train_bitset[users]
-        _, top_items = masked_topk(u_emb, items, train_rows, self.max_k)
+        _, top_items = masked_topk(
+            u_emb,
+            items,
+            train_rows,
+            self.max_k,
+            method=self.cfg.topk_method,
+            recall_target=self.cfg.topk_recall_target,
+        )
         labels = topk_labels(top_items, test_bitset, users)
         return batch_metrics(labels, gt_counts, weights, self.cfg.topks)
 

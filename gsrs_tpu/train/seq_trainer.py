@@ -1,0 +1,175 @@
+"""Trainer + evaluator for the sequential (SASRec) model family.
+
+Mirrors the graph trainer's TPU conventions: static-shaped epoch arrays,
+one jitted `lax.scan` over minibatches with donated state, on-device
+uniform negatives, and the shared masked-top-k/metrics stack for eval
+(leave-last-item-out: HR@k == recall@k with a single ground-truth item,
+NDCG@k as usual)."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gsrs_tpu.data.sequences import SequenceData
+from gsrs_tpu.models.sasrec import SASRec, SASRecConfig
+from gsrs_tpu.ops.bitset import build_bitset
+from gsrs_tpu.ops.metrics import batch_metrics, topk_labels
+from gsrs_tpu.ops.topk import mask_train_positives, topk_scores
+
+
+@dataclasses.dataclass
+class SeqTrainState:
+    params: Any
+    opt_state: Any
+    epoch: int = 0
+
+
+class SeqTrainer:
+    def __init__(
+        self,
+        model: SASRec,
+        data: SequenceData,
+        batch_size: int = 128,
+        lr: float = 1e-3,
+        decay: float = 0.0,
+        seed: int = 2020,
+        topks: Tuple[int, ...] = (10, 20),
+        eval_batch: int = 256,
+    ):
+        self.model = model
+        self.data = data
+        self.batch_size = batch_size
+        self.decay = decay
+        self.seed = seed
+        self.topks = topks
+        self.eval_batch = eval_batch
+        self.optimizer = optax.adam(lr)
+
+        n = len(data.train_seqs)
+        self.n_train = n
+        pad = -(-n // batch_size) * batch_size
+        seqs = np.zeros((pad, data.max_len), np.int32)
+        seqs[:n] = data.train_seqs
+        self.train_seqs = jnp.asarray(seqs)
+
+        # eval: history bitset over REAL (unshifted) ids for masking
+        hist_u, hist_i = [], []
+        for u, items in data.user_hist_sets.items():
+            hist_u.append(np.full(len(items), u, np.int64))
+            hist_i.append(np.asarray(items, np.int64) - 1)  # unshift
+        self.hist_bitset = jnp.asarray(
+            build_bitset(
+                np.concatenate(hist_u) if hist_u else np.zeros(0, np.int64),
+                np.concatenate(hist_i) if hist_i else np.zeros(0, np.int64),
+                data.n_users,
+                data.m_items,
+            )
+        )
+        tgt_bitset = build_bitset(
+            data.eval_users.astype(np.int64),
+            (data.eval_targets - 1).astype(np.int64),
+            data.n_users,
+            data.m_items,
+        )
+        self.target_bitset = jnp.asarray(tgt_bitset)
+        self._epoch_fn = None
+
+    def init_state(self) -> SeqTrainState:
+        params = self.model.init_params(jax.random.key(self.seed))
+        return SeqTrainState(params, self.optimizer.init(params))
+
+    # ------------------------------------------------------------------ train
+    def _build_epoch_fn(self):
+        model, opt, decay = self.model, self.optimizer, self.decay
+        m_items = self.data.m_items
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def run_epoch(params, opt_state, seq_batches, keys):
+            def body(carry, xs):
+                params, opt_state = carry
+                seqs, key = xs
+                inp = jnp.zeros_like(seqs).at[:, 1:].set(seqs[:, :-1])
+                pos = seqs
+                k_neg, k_drop = jax.random.split(key)
+                neg = jax.random.randint(
+                    k_neg, seqs.shape, 1, m_items + 1, dtype=jnp.int32
+                )
+                neg = jnp.where(pos == 0, 0, neg)
+
+                def loss_fn(p):
+                    loss, aux = model.next_item_bpr_loss(
+                        p, inp, pos, neg, k_drop
+                    )
+                    return loss + decay * aux["reg"], aux
+
+                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (seq_batches, keys)
+            )
+            return params, opt_state, jnp.mean(losses)
+
+        return run_epoch
+
+    def train_epoch(self, state: SeqTrainState) -> Tuple[SeqTrainState, float]:
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+        key = jax.random.fold_in(jax.random.key(self.seed), state.epoch)
+        k_perm, k_steps = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, self.train_seqs.shape[0])
+        batches = self.train_seqs[perm].reshape(
+            -1, self.batch_size, self.data.max_len
+        )
+        keys = jax.random.split(k_steps, batches.shape[0])
+        params, opt_state, loss = self._epoch_fn(
+            state.params, state.opt_state, batches, keys
+        )
+        return SeqTrainState(params, opt_state, state.epoch + 1), float(loss)
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, state: SeqTrainState) -> Dict[str, float]:
+        data = self.data
+        n_eval = len(data.eval_users)
+        B = self.eval_batch
+        max_k = max(self.topks)
+
+        @jax.jit
+        def eval_batch(params, seqs, users, weights, hist_bitset, target_bitset):
+            scores = self.model.score_catalog(params, seqs)
+            hist_rows = hist_bitset[users]
+            scores = mask_train_positives(scores, hist_rows, data.m_items)
+            _, top_items = topk_scores(scores, max_k)
+            labels = topk_labels(top_items, target_bitset, users)
+            gt = jnp.ones(seqs.shape[0], jnp.float32)
+            return batch_metrics(labels, gt, weights, self.topks)
+
+        totals: Dict[str, float] = {}
+        pad = -(-n_eval // B) * B
+        seqs = np.zeros((pad, data.max_len), np.int32)
+        seqs[:n_eval] = data.eval_seqs
+        users = np.zeros(pad, np.int32)
+        users[:n_eval] = data.eval_users
+        weights = np.zeros(pad, np.float32)
+        weights[:n_eval] = 1.0
+        for s in range(0, pad, B):
+            sums = eval_batch(
+                state.params,
+                jnp.asarray(seqs[s : s + B]),
+                jnp.asarray(users[s : s + B]),
+                jnp.asarray(weights[s : s + B]),
+                self.hist_bitset,
+                self.target_bitset,
+            )
+            for k, v in sums.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        return {k: v / max(n_eval, 1) for k, v in totals.items()}
