@@ -42,14 +42,6 @@ def ensure_gowalla() -> str:
 def main() -> None:
     ddir = ensure_gowalla()
 
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     from gsrs_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
     from gsrs_tpu.data.adjacency import build_graph
     from gsrs_tpu.data.dataset import load_dataset

@@ -172,9 +172,15 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
 
 
 def _enable_compilation_cache() -> None:
-    """Persistent XLA compilation cache — first Gowalla-scale compile costs
-    ~25-40s through the remote-compile tunnel; the on-disk cache makes
-    repeat CLI/bench invocations start hot."""
+    """Opt-in persistent XLA compilation cache (set GSRS_COMPILE_CACHE=1).
+
+    NOT enabled by default: under the axon remote-compile tunnel the
+    persistent cache deadlocks the first compile (observed: process
+    futex-blocked indefinitely after device init)."""
+    import os
+
+    if os.environ.get("GSRS_COMPILE_CACHE") != "1":
+        return
     import jax
 
     try:
