@@ -105,7 +105,11 @@ class Evaluator:
         all_users, items, _ = jax.jit(
             lambda p, g, e: self.model.final_embeddings(p, graph=g, ell=e)
         )(params, self.model.graph, self.model.ell)
-        totals: Dict[str, float] = {}
+        # Accumulate per-batch sums as device arrays and fetch ONCE at the
+        # end: a float() per batch would force a host round-trip each
+        # iteration (expensive through the TPU tunnel) and serialize the
+        # otherwise async dispatch queue.
+        totals: Dict[str, jax.Array] = {}
         for users, weights in zip(self.user_batches, self.user_weights):
             sums = self._batch_fn(
                 all_users,
@@ -117,6 +121,6 @@ class Evaluator:
                 jnp.asarray(self.gt_counts[users]),
             )
             for k, v in sums.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                totals[k] = v if k not in totals else totals[k] + v
         denom = max(self.n_test_users, 1)
-        return {k: v / denom for k, v in totals.items()}
+        return {k: float(v) / denom for k, v in totals.items()}

@@ -277,6 +277,30 @@ class Trainer:
                             self.cfg.model.embedding_dim,
                         ),
                     )
+
+            # Final eval after the last epoch (the reference's loop pattern
+            # never evaluates the final state, code/main.py:185-242 — the
+            # epoch-1000 numbers it reports are from epoch 990).
+            if self.evaluator is not None and state.epoch % t_cfg.eval_every != 0:
+                metrics = self.evaluate(state)
+                row = {
+                    "epoch": state.epoch,
+                    "time_sec": "",
+                    "lr": self.current_lr(state),
+                }
+                row.update({k: f"{v:.6f}" for k, v in metrics.items()})
+                valid_csv.append(row)
+                tb.eval_metrics(metrics, self.cfg.eval.topks, state.epoch)
+                ndcg = metrics.get(f"ndcg@{main_k}", 0.0)
+                if verbose:
+                    print(f"[final eval e{state.epoch}] " + " ".join(
+                        f"{k}={v:.5f}" for k, v in sorted(metrics.items())
+                    ))
+                if ndcg > state.best_metric:
+                    state = dataclasses.replace(state, best_metric=ndcg)
+                    self.ckpt.save_best(
+                        self._ckpt_state(state), state.epoch, t_cfg.keep_topk
+                    )
         finally:
             tb.close()
         return state
