@@ -103,3 +103,41 @@ def test_sasrec_learns_markov_structure():
     assert losses[-1] < losses[0] * 0.7
     # chance HR@10 = 10/100 = 0.1; markov structure (p_stay=.85) is learnable
     assert final["recall@10"] > max(2 * first["recall@10"], 0.2), (first, final)
+
+
+def test_gru4rec_padding_carries_state():
+    from gsrs_tpu.models.gru4rec import GRU4Rec, GRU4RecConfig
+
+    cfg = GRU4RecConfig(m_items=50, max_len=8, embedding_dim=16, hidden_dim=16)
+    model = GRU4Rec(cfg)
+    params = model.init_params(jax.random.key(0))
+    # same real items, different left-padding length -> same final state
+    a = jnp.asarray([[0, 0, 0, 0, 1, 2, 3, 4]], jnp.int32)
+    q_a = model.user_representations(params, a)
+    cfg2 = GRU4RecConfig(m_items=50, max_len=6, embedding_dim=16, hidden_dim=16)
+    model2 = GRU4Rec(cfg2)
+    b = jnp.asarray([[0, 0, 1, 2, 3, 4]], jnp.int32)
+    q_b = model2.user_representations(params, b)
+    np.testing.assert_allclose(np.asarray(q_a), np.asarray(q_b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_gru4rec_learns_markov_structure():
+    from gsrs_tpu.models.gru4rec import GRU4Rec, GRU4RecConfig
+
+    data = synthetic_markov_sequences(
+        n_users=300, m_items=100, n_clusters=5, max_len=20, seed=0
+    )
+    cfg = GRU4RecConfig(
+        m_items=100, max_len=20, embedding_dim=32, hidden_dim=32, dropout_rate=0.0
+    )
+    model = GRU4Rec(cfg)
+    trainer = SeqTrainer(model, data, batch_size=64, lr=3e-3, topks=(10,))
+    state = trainer.init_state()
+    losses = []
+    for _ in range(15):
+        state, loss = trainer.train_epoch(state)
+        losses.append(loss)
+    final = trainer.evaluate(state)
+    assert losses[-1] < losses[0] * 0.7
+    assert final["recall@10"] > 0.2, final
