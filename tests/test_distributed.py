@@ -135,3 +135,36 @@ def test_entry_compiles():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_shard_map_step_matches_single_device(setup, mesh_shape):
+    from gsrs_tpu.parallel.shard_map_train import make_shard_map_train_step
+
+    data, graph, model, params, optimizer, batch = setup
+    ref_params, ref_loss = _single_device_step(model, optimizer, params, batch)
+
+    mesh = make_mesh(data_axis=mesh_shape[0], model_axis=mesh_shape[1])
+    sh = GraphShardings(mesh)
+    p_sharded = sh.place_params(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    )
+    opt_state = optimizer.init(p_sharded)
+    model_sh = build_model(model.cfg, graph, ell=model.ell)
+    step = make_shard_map_train_step(model_sh, optimizer, mesh, decay=1e-4)(
+        p_sharded, opt_state
+    )
+    batch_s = sh.batch_spec()
+    sharded_batch = tuple(jax.device_put(b, batch_s) for b in batch)
+    new_params, _, loss = step(p_sharded, opt_state, graph, *sharded_batch)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["user_emb"]),
+        np.asarray(ref_params["user_emb"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["item_emb"]),
+        np.asarray(ref_params["item_emb"]),
+        atol=1e-5,
+    )
