@@ -7,9 +7,9 @@ SpMMs over the same edge set, which lets us avoid scatter entirely:
 
 - Forward ``new_u = W @ item_emb`` is computed per-user as a *gather* of
   the user's item rows plus a dense weighted reduction. Rows are grouped
-  into power-of-two degree buckets and padded to rectangles (ELL format),
-  so every bucket is a static-shaped  (rows, width, d) gather + einsum —
-  pure VPU work, no scatter.
+  into width-bucketed rectangles (ELL format), so every bucket is a
+  static-shaped (rows, width, d) gather + weighted reduction — pure VPU
+  work, no scatter.
 - Backward: the cotangent of a gather is normally a scatter-add — but
   d(W @ x)/dx applied to a cotangent ĝ is exactly ``W^T @ ĝ``, i.e. the
   *other side's* gather layout. The custom VJP routes each gradient
@@ -27,7 +27,7 @@ same interface. Replaces the reference's ``torch.sparse.mm`` hot loop
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,8 +95,8 @@ def _build_side(
     active_rows = np.flatnonzero(degrees > 0)
     # Bucket width per active row. Gathers are issue-rate bound on TPU
     # (~300M rows/s regardless of dtype), so padded slots cost real time:
-    # use fine-grained widths (multiples of 8 up to 64, then powers of
-    # two) to keep padding waste ~1.1× instead of pow2's ~1.4×.
+    # use fine-grained widths (multiples of 4 up to 64, then powers of
+    # two) to keep padding waste ~1.2× instead of pow2's ~1.4×.
     deg_active = degrees[active_rows]
     fine = np.maximum(min_width, ((deg_active + 3) // 4) * 4)
     coarse = 1 << np.ceil(np.log2(np.maximum(deg_active, 1))).astype(np.int64)

@@ -3,15 +3,16 @@
 The TPU-native replacement for the reference's ``torch.sparse.mm`` hot
 loop (reference code/model.py:216-218). An SpMM over E edges with feature
 width d is a gather (E×d reads) → scale → segment-sum (E×d accumulates):
-pure HBM-bandwidth work on the VPU, which XLA lowers well when segment
-ids are sorted and shapes are static. A fused Pallas kernel that avoids
-materializing the E×d intermediate lives in `gsrs_tpu.ops.spmm_pallas`;
-both share this interface and are dispatched via `spmm_impl`.
+pure HBM-bandwidth work on the VPU. On TPU the scatter half runs well
+below gather speed, so this segment-sum path is the *fallback*; the
+default production path is the scatter-free ELL formulation in
+`gsrs_tpu.ops.ell` (selected via ModelConfig.spmm_mode). This path also
+serves the shard_map distributed step, where contiguous slices of the
+sorted edge arrays shard naturally across devices.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -11,16 +11,13 @@ layer at all)."""
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gsrs_tpu.data.adjacency import BipartiteGraph
-from gsrs_tpu.models.lightgcn import LightGCN, Params
+from gsrs_tpu.models.lightgcn import LightGCN
 from gsrs_tpu.parallel.sharding import GraphShardings
 
 

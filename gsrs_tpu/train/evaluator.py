@@ -18,9 +18,7 @@ code/utils.py:173-217 exactly (see gsrs_tpu.ops.metrics golden tests).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
