@@ -204,6 +204,10 @@ def main(argv: Optional[list] = None) -> None:
         data = load_lastfm(cfg.data.dataset_dir)
     else:
         data = load_dataset(cfg.data.dataset_dir, name=args.dataset)
+    if cfg.parallel.model_axis > 1:
+        from gsrs_tpu.data.dataset import pad_nodes_to_multiple
+
+        data = pad_nodes_to_multiple(data, cfg.parallel.model_axis)
     print(
         f"[data] {data.name}: {data.n_users} users × {data.m_items} items, "
         f"{data.train_size} train interactions, {len(data.test_dict)} test users"

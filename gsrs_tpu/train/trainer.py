@@ -60,15 +60,38 @@ class Trainer:
     ):
         self.cfg = cfg
         self.data = data
+        # Mesh-first: single-chip is the degenerate 1×1 mesh. With a larger
+        # mesh (cfg.parallel), tables are row-sharded over 'model', batches
+        # over 'data', edges over the whole mesh — GSPMD inserts the
+        # collectives in the same jitted epoch scan.
+        par = cfg.parallel
+        self.mesh = None
+        self._shardings = None
+        if par.data_axis * par.model_axis > 1:
+            from gsrs_tpu.parallel.mesh import make_mesh
+            from gsrs_tpu.parallel.sharding import GraphShardings
+
+            self.mesh = make_mesh(par)
+            self._shardings = GraphShardings(self.mesh)
         # Move graph constants to device ONCE: these pytrees are passed as
         # jit arguments every epoch, and numpy-backed leaves would re-upload
         # tens of MB through the host on every call.
-        self.graph = jax.device_put(graph)
+        if self._shardings is not None:
+            self.graph = self._shardings.place_graph(graph)
+            if model.ell is not None:
+                model.ell = jax.device_put(
+                    model.ell, self._shardings.replicated()
+                )
+        else:
+            self.graph = jax.device_put(graph)
+            if model.ell is not None:
+                model.ell = jax.device_put(model.ell)
         model.graph = self.graph
-        if model.ell is not None:
-            model.ell = jax.device_put(model.ell)
         self.model = model
-        self.sampler_state = jax.device_put(make_sampler_state(data))
+        self.sampler_state = jax.device_put(
+            make_sampler_state(data),
+            *( [self._shardings.replicated()] if self._shardings else [] ),
+        )
         self.steps_per_epoch = max(1, -(-data.train_size // cfg.train.batch_size))
         self.optimizer, self.schedule = make_optimizer(
             cfg.train, self.steps_per_epoch
@@ -86,6 +109,8 @@ class Trainer:
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         seed = self.cfg.train.seed if seed is None else seed
         params = self.model.init_params(jax.random.key(seed))
+        if self._shardings is not None:
+            params = self._shardings.place_params(params)
         return TrainState(params=params, opt_state=self.optimizer.init(params))
 
     # ------------------------------------------------------------ train step
@@ -145,6 +170,14 @@ class Trainer:
             self.cfg.train.batch_size,
         )
         drop_keys = jax.random.split(k_drop, users_b.shape[0])
+        if self._shardings is not None:
+            # batches: (num_batches, B) sharded over 'data' on the batch dim
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bspec = NamedSharding(self.mesh, P(None, "data"))
+            users_b = jax.device_put(users_b, bspec)
+            pos_b = jax.device_put(pos_b, bspec)
+            neg_b = jax.device_put(neg_b, bspec)
         params, opt_state, mean_loss = self._epoch_fn(
             state.params,
             state.opt_state,

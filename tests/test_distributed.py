@@ -168,3 +168,45 @@ def test_shard_map_step_matches_single_device(setup, mesh_shape):
         np.asarray(ref_params["item_emb"]),
         atol=1e-5,
     )
+
+
+def test_trainer_on_mesh_matches_single_device(tmp_path):
+    """The full Trainer with a (2,4) mesh config must produce the same
+    losses and eval metrics as the single-device trainer (same sampling
+    keys → same batches)."""
+    from gsrs_tpu.config import (
+        EvalConfig,
+        ExperimentConfig,
+        ModelConfig,
+        ParallelConfig,
+        TrainConfig,
+    )
+    from gsrs_tpu.train.trainer import Trainer
+
+    data = clustered(64, 96, n_clusters=4, seed=2)
+
+    def make(par, subdir):
+        cfg = ExperimentConfig(
+            model=ModelConfig(num_layers=2, embedding_dim=8),
+            train=TrainConfig(
+                batch_size=64, lr=1e-2, checkpoint_dir=str(tmp_path / subdir),
+                tensorboard=False,
+            ),
+            eval=EvalConfig(test_batch=32),
+            parallel=par,
+        )
+        graph = build_graph(data, edge_pad_multiple=256)
+        model = build_model(cfg.model, graph, ell=ell_from_interactions(data))
+        return Trainer(cfg, data, graph, model)
+
+    t1 = make(ParallelConfig(), "single")
+    t8 = make(ParallelConfig(data_axis=2, model_axis=4), "mesh")
+    assert t8.mesh is not None
+    s1, s8 = t1.init_state(), t8.init_state()
+    for _ in range(3):
+        s1, l1 = t1.train_epoch(s1)
+        s8, l8 = t8.train_epoch(s8)
+        np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    m1, m8 = t1.evaluate(s1), t8.evaluate(s8)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], atol=1e-5)
