@@ -1,0 +1,125 @@
+"""CLI for the sequential recommendation family (SASRec / GRU4Rec).
+
+The reference repo's name promises sequential recommendation but has no
+code for it; this is the training entry point for the TPU-native family:
+
+  python -m gsrs_tpu.seq_cli --dataset gowalla --model sasrec --epochs 50
+  python -m gsrs_tpu.seq_cli --synthetic --model gru4rec
+
+Sequences come from per-user interaction order (leave-last-item-out);
+metrics are HR@k (recall with one ground-truth item) and NDCG@k over the
+full catalog with history masking.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gsrs_tpu.seq")
+    p.add_argument("--model", choices=["sasrec", "gru4rec"], default="sasrec")
+    p.add_argument("--dataset", type=str, default="gowalla")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true", help="markov synthetic data")
+    p.add_argument("--max_len", type=int, default=50)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--blocks", type=int, default=2, help="attention blocks / GRU layers")
+    p.add_argument("--heads", type=int, default=1)
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--decay", type=float, default=0.0)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--eval_every", type=int, default=10)
+    p.add_argument("--topks", type=str, default="[10,20]")
+    p.add_argument("--seed", type=int, default=2020)
+    p.add_argument("--bf16", action="store_true")
+    return p
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from gsrs_tpu.config import topks_from_string
+    from gsrs_tpu.data.sequences import (
+        sequences_from_interactions,
+        synthetic_markov_sequences,
+    )
+    from gsrs_tpu.train.seq_trainer import SeqTrainer
+
+    if args.synthetic:
+        seq_data = synthetic_markov_sequences(max_len=args.max_len, seed=args.seed)
+    else:
+        from gsrs_tpu.data.dataset import load_dataset
+
+        data_root = args.data_root or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+        )
+        data = load_dataset(os.path.join(data_root, args.dataset), name=args.dataset)
+        seq_data = sequences_from_interactions(data, max_len=args.max_len)
+    print(
+        f"[seq] {seq_data.name}: {len(seq_data.train_seqs)} sequences, "
+        f"{seq_data.m_items} items, max_len {seq_data.max_len}"
+    )
+
+    if args.model == "sasrec":
+        from gsrs_tpu.models.sasrec import SASRec, SASRecConfig
+
+        model = SASRec(
+            SASRecConfig(
+                m_items=seq_data.m_items,
+                max_len=args.max_len,
+                embedding_dim=args.dim,
+                num_blocks=args.blocks,
+                num_heads=args.heads,
+                ffn_hidden=args.hidden,
+                dropout_rate=args.dropout,
+                bf16_compute=args.bf16,
+            )
+        )
+    else:
+        from gsrs_tpu.models.gru4rec import GRU4Rec, GRU4RecConfig
+
+        model = GRU4Rec(
+            GRU4RecConfig(
+                m_items=seq_data.m_items,
+                max_len=args.max_len,
+                embedding_dim=args.dim,
+                hidden_dim=args.hidden,
+                num_layers=args.blocks,
+                dropout_rate=args.dropout,
+                bf16_compute=args.bf16,
+            )
+        )
+
+    trainer = SeqTrainer(
+        model,
+        seq_data,
+        batch_size=args.batch,
+        lr=args.lr,
+        decay=args.decay,
+        seed=args.seed,
+        topks=topks_from_string(args.topks),
+    )
+    state = trainer.init_state()
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.time()
+        state, loss = trainer.train_epoch(state)
+        print(
+            f"[epoch {epoch}/{args.epochs}] loss={loss:.5f} ({time.time()-t0:.2f}s)"
+        )
+        if epoch % args.eval_every == 0 or epoch == args.epochs:
+            metrics = trainer.evaluate(state)
+            print(
+                f"[eval e{epoch}] "
+                + " ".join(f"{k}={v:.5f}" for k, v in sorted(metrics.items()))
+            )
+
+
+if __name__ == "__main__":
+    main()

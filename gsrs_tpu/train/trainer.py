@@ -248,6 +248,30 @@ class Trainer:
         t_cfg = self.cfg.train
         epochs = t_cfg.epochs if epochs is None else epochs
         state = state or self.init_state()
+        if t_cfg.load_pretrained:
+            # --load semantics (reference code/main.py:143-149): restore
+            # WEIGHTS ONLY from the legacy-named checkpoint, keep epoch 0 /
+            # fresh optimizer; missing file tolerated with a warning.
+            import os as _os
+
+            legacy = legacy_name(
+                self.cfg.model.model,
+                self.data.name,
+                self.cfg.model.num_layers,
+                self.cfg.model.embedding_dim,
+            )
+            legacy_path = _os.path.join(t_cfg.checkpoint_dir, legacy)
+            path = (
+                legacy_path
+                if _os.path.isdir(legacy_path)
+                else self.ckpt.resolve_resume_path(None, legacy)
+            )
+            if path is not None:
+                restored = self.ckpt.restore(path, self._ckpt_state(state))
+                state = dataclasses.replace(state, params=restored["params"])
+                print(f"[load] restored pretrained weights from {path}")
+            else:
+                print(f"[load] WARNING: no pretrained checkpoint ({legacy})")
         if t_cfg.resume:
             state = self.maybe_resume(state)
 
