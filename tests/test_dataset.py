@@ -78,3 +78,18 @@ def test_powerlaw_generator_scales():
     assert len(data.test_dict) > 0
     # popularity skew: top item much more popular than median
     assert data.item_degrees.max() > 10 * max(np.median(data.item_degrees), 1)
+
+
+def test_pad_nodes_to_multiple(tiny_data):
+    from gsrs_tpu.data.dataset import pad_nodes_to_multiple
+
+    padded = pad_nodes_to_multiple(tiny_data, 8)
+    assert padded.n_users % 8 == 0 and padded.m_items % 8 == 0
+    assert padded.n_users >= tiny_data.n_users
+    assert padded.train_size == tiny_data.train_size
+    # phantom nodes have zero degree
+    assert (padded.user_degrees[tiny_data.n_users:] == 0).all()
+    # no-op when already divisible
+    again = pad_nodes_to_multiple(padded, 8)
+    assert again.n_users == padded.n_users
+    assert pad_nodes_to_multiple(tiny_data, 1) is tiny_data
