@@ -39,8 +39,36 @@ def ensure_gowalla() -> str:
     return ddir
 
 
+def wait_for_tpu(max_wait_s: int = 900) -> None:
+    """The axon TPU grant can be wedged for ~10 min after an unclean client
+    exit (every new client futex-blocks). Probe with short-lived
+    subprocesses until a tiny matmul succeeds, so the bench never starts
+    into a wedged chip."""
+    deadline = time.time() + max_wait_s
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"
+    )
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=120,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("# warning: TPU probe never succeeded; proceeding anyway", file=sys.stderr)
+            return
+        time.sleep(60)
+
+
 def main() -> None:
     ddir = ensure_gowalla()
+    wait_for_tpu()
 
     from gsrs_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
     from gsrs_tpu.data.adjacency import build_graph
