@@ -86,21 +86,21 @@ def auc(scores: jax.Array, pos_mask: jax.Array) -> jax.Array:
     """
     m = scores.shape[0]
     order = jnp.argsort(scores)  # ascending
-    ranks = jnp.zeros(m).at[order].set(jnp.arange(1, m + 1, dtype=jnp.float32))
-    # average ranks over ties
-    def tie_avg(r):
-        # group by score value: use segment mean keyed on sorted runs
-        sorted_scores = scores[order]
-        same_as_prev = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), (sorted_scores[1:] == sorted_scores[:-1]).astype(jnp.int32)]
-        )
-        group_id = jnp.cumsum(1 - same_as_prev) - 1
-        sums = jax.ops.segment_sum(jnp.arange(1, m + 1, dtype=jnp.float32), group_id, m)
-        counts = jax.ops.segment_sum(jnp.ones(m), group_id, m)
-        mean_rank_sorted = sums[group_id] / jnp.maximum(counts[group_id], 1)
-        return jnp.zeros(m).at[order].set(mean_rank_sorted)
-
-    ranks = tie_avg(ranks)
+    # tie-averaged ranks: group equal scores into runs, give every member
+    # the run's mean 1-based rank (sklearn's tie convention)
+    sorted_scores = scores[order]
+    new_run = jnp.concatenate(
+        [
+            jnp.ones(1, jnp.int32),
+            (sorted_scores[1:] != sorted_scores[:-1]).astype(jnp.int32),
+        ]
+    )
+    group_id = jnp.cumsum(new_run) - 1
+    pos = jnp.arange(1, m + 1, dtype=jnp.float32)
+    sums = jax.ops.segment_sum(pos, group_id, m)
+    counts = jax.ops.segment_sum(jnp.ones(m), group_id, m)
+    mean_rank_sorted = sums[group_id] / jnp.maximum(counts[group_id], 1)
+    ranks = jnp.zeros(m).at[order].set(mean_rank_sorted)
     n_pos = jnp.sum(pos_mask)
     n_neg = m - n_pos
     rank_sum = jnp.sum(jnp.where(pos_mask, ranks, 0.0))
