@@ -93,3 +93,13 @@ def test_pad_nodes_to_multiple(tiny_data):
     again = pad_nodes_to_multiple(padded, 8)
     assert again.n_users == padded.n_users
     assert pad_nodes_to_multiple(tiny_data, 1) is tiny_data
+
+
+def test_write_preserve_order(tmp_path):
+    p = tmp_path / "t.txt"
+    u = np.array([1, 0, 1, 0])
+    i = np.array([9, 5, 2, 3])
+    write_interaction_file(str(p), u, i, preserve_order=True)
+    lines = p.read_text().strip().splitlines()
+    assert lines[0] == "1 9 2" or lines[1] == "1 9 2"
+    assert "0 5 3" in lines  # user 0 keeps input order (5 then 3)
