@@ -1,0 +1,90 @@
+"""Pallas TPU kernels.
+
+Status and rationale (round 1):
+
+- `masked_scores_pallas`: WORKING fused eval-scoring kernel — computes the
+  (B, m) user×item score tile on the MXU and applies the train-positive
+  bitset mask inline (bit unpack + select on the VPU), so the full score
+  matrix is written exactly once instead of matmul-out + masked-copy.
+  Correctness-tested in interpreter mode on CPU and compiled on TPU.
+
+- SpMM gather kernels: attempted and NOT shippable with this toolchain —
+  Mosaic exposes no vectorized VMEM gather (`jnp.take`,
+  `take_along_axis`, and per-row `fori` copies all fail to lower), which
+  is the one primitive that would beat XLA's issue-rate-bound gather
+  (~300 M rows/s) for the ELL SpMM. Revisit when a dynamic-gather
+  primitive lands; the XLA ELL path (`gsrs_tpu.ops.ell`) remains the
+  production SpMM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _masked_scores_kernel(u_ref, it_ref, bits_ref, out_ref):
+    scores = jnp.dot(
+        u_ref[:], it_ref[:].T, preferred_element_type=jnp.float32
+    )  # (BT, MT)
+    words = bits_ref[:]  # (BT, MT // 32) uint32
+    bt, mt = scores.shape
+    # bit j of the tile column lives in word j>>5 at bit j&31: expand each
+    # word to 32 consecutive columns (broadcast + reshape keeps word-major
+    # order; pltpu.repeat is tile-repeat, NOT element-repeat)
+    expanded = jnp.broadcast_to(
+        words[:, :, None], (bt, mt // 32, 32)
+    ).reshape(bt, mt)
+    shifts = (
+        jax.lax.broadcasted_iota(jnp.uint32, (bt, mt), dimension=1) % 32
+    )
+    mask = ((expanded >> shifts) & 1).astype(jnp.bool_)
+    out_ref[:] = jnp.where(mask, NEG_INF, scores)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "block_m", "interpret"))
+def masked_scores_pallas(
+    user_emb: jax.Array,  # (B, d) float32
+    item_emb: jax.Array,  # (m, d) float32
+    bitset_rows: jax.Array,  # (B, ceil(m/32)) uint32 (m must be padded to 32·k
+    #                           for the kernel; caller slices the output)
+    block_b: int = 256,
+    block_m: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused U @ I^T with train-positive masking. Requires B % block_b == 0,
+    (32·W) % block_m == 0 where W = bitset words; item_emb is padded up to
+    32·W rows internally (pad rows score NEG_INF is not needed — they are
+    masked only if their bits are set; callers slice [:, :m])."""
+    B, d = user_emb.shape
+    m = item_emb.shape[0]
+    W = bitset_rows.shape[1]
+    m_pad = W * 32
+    if m_pad != m:
+        item_emb = jnp.pad(item_emb, ((0, m_pad - m), (0, 0)))
+    grid = (B // block_b, m_pad // block_m)
+    out = pl.pallas_call(
+        _masked_scores_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, block_m // 32),
+                lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_m), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, m_pad), jnp.float32),
+        interpret=interpret,
+    )(user_emb, item_emb, bitset_rows)
+    return out[:, :m]

@@ -1,0 +1,51 @@
+"""Pallas kernel correctness in interpreter mode (CPU).
+
+On real TPU the same kernels compile natively; interpreter mode checks
+the math (tiling, bit unpack, masking) platform-independently."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gsrs_tpu.ops.bitset import build_bitset
+from gsrs_tpu.ops.pallas_kernels import NEG_INF, masked_scores_pallas
+
+
+def test_masked_scores_matches_reference(rng, tiny_data):
+    B, d = 8, 16
+    # pad users/items to kernel-friendly shapes
+    m = tiny_data.m_items
+    user_emb = rng.standard_normal((B, d)).astype(np.float32)
+    item_emb = rng.standard_normal((m, d)).astype(np.float32)
+    bitset = build_bitset(
+        tiny_data.train_users, tiny_data.train_items, tiny_data.n_users, m
+    )
+    users = np.arange(B)
+    rows = bitset[users]
+
+    got = masked_scores_pallas(
+        jnp.asarray(user_emb),
+        jnp.asarray(item_emb),
+        jnp.asarray(rows),
+        block_b=8,
+        block_m=64,
+        interpret=True,
+    )
+    expect = user_emb @ item_emb.T
+    mask = np.zeros((tiny_data.n_users, m), bool)
+    mask[tiny_data.train_users, tiny_data.train_items] = True
+    expect[mask[users]] = NEG_INF
+    np.testing.assert_allclose(np.asarray(got), expect, atol=1e-4)
+
+
+def test_masked_scores_nothing_masked(rng):
+    B, m, d = 8, 64, 8
+    u = rng.standard_normal((B, d)).astype(np.float32)
+    it = rng.standard_normal((m, d)).astype(np.float32)
+    rows = np.zeros((B, m // 32), np.uint32)
+    got = masked_scores_pallas(
+        jnp.asarray(u), jnp.asarray(it), jnp.asarray(rows),
+        block_b=8, block_m=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), u @ it.T, atol=1e-4)
