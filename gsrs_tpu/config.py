@@ -137,6 +137,10 @@ class EvalConfig:
     # wide catalogs at recall_target expected per-row recall)
     topk_method: str = "exact"
     topk_recall_target: float = 0.98
+    # Fused Pallas scoring+masking kernel (experimental; interpreter-
+    # tested, compiles on TPU): writes the score matrix once instead of
+    # matmul-out + masked copy.
+    use_pallas_scoring: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

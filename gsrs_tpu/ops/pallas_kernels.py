@@ -65,7 +65,20 @@ def masked_scores_pallas(
     B, d = user_emb.shape
     m = item_emb.shape[0]
     W = bitset_rows.shape[1]
-    m_pad = W * 32
+    # pad the word dimension so block_m divides the padded catalog; pad
+    # words are all-ones → their columns mask to NEG_INF (and are sliced
+    # off anyway)
+    wpb = block_m // 32
+    W_pad = -(-W // wpb) * wpb
+    if W_pad != W:
+        import numpy as np
+
+        bitset_rows = jnp.pad(
+            bitset_rows,
+            ((0, 0), (0, W_pad - W)),
+            constant_values=np.uint32(0xFFFFFFFF),
+        )
+    m_pad = W_pad * 32
     if m_pad != m:
         item_emb = jnp.pad(item_emb, ((0, m_pad - m), (0, 0)))
     grid = (B // block_b, m_pad // block_m)

@@ -85,6 +85,16 @@ class Evaluator:
     ) -> Dict[str, jax.Array]:
         u_emb = all_users[users]
         train_rows = train_bitset[users]
+        if self.cfg.use_pallas_scoring:
+            from gsrs_tpu.ops.pallas_kernels import masked_scores_pallas
+            from gsrs_tpu.ops.topk import topk_scores
+
+            scores = masked_scores_pallas(u_emb, items, train_rows)
+            _, top_items = topk_scores(
+                scores, self.max_k, self.cfg.topk_method, self.cfg.topk_recall_target
+            )
+            labels = topk_labels(top_items, test_bitset, users)
+            return batch_metrics(labels, gt_counts, weights, self.cfg.topks)
         _, top_items = masked_topk(
             u_emb,
             items,

@@ -49,3 +49,47 @@ def test_masked_scores_nothing_masked(rng):
         block_b=8, block_m=64, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), u @ it.T, atol=1e-4)
+
+
+def test_masked_scores_word_padding(rng):
+    """Catalog whose word count doesn't divide the block width."""
+    B, m, d = 8, 100, 8  # W = 4 words; block_m=128 -> wpb=4 (exact here)
+    u = rng.standard_normal((B, d)).astype(np.float32)
+    it = rng.standard_normal((m, d)).astype(np.float32)
+    rows = np.zeros((B, (m + 31) // 32), np.uint32)
+    rows[0, 0] = 1  # mask item 0 for user-row 0
+    got = masked_scores_pallas(
+        jnp.asarray(u), jnp.asarray(it), jnp.asarray(rows),
+        block_b=8, block_m=256, interpret=True,
+    )
+    assert got.shape == (B, m)
+    expect = u @ it.T
+    expect[0, 0] = NEG_INF
+    np.testing.assert_allclose(np.asarray(got), expect, atol=1e-4)
+
+
+def test_evaluator_with_pallas_scoring(tiny_data):
+    import jax
+
+    from gsrs_tpu.config import EvalConfig, ModelConfig
+    from gsrs_tpu.data.adjacency import build_graph
+    from gsrs_tpu.models.registry import build_model
+    from gsrs_tpu.train.evaluator import Evaluator
+
+    graph = build_graph(tiny_data, edge_pad_multiple=256)
+    model = build_model(ModelConfig(num_layers=1, embedding_dim=8), graph)
+    params = model.init_params(jax.random.key(0))
+    base = Evaluator(tiny_data, model, EvalConfig(test_batch=8, topks=(10,))).run(params)
+    # interpreter-mode pallas on CPU: monkeypatch interpret default via flag
+    import gsrs_tpu.ops.pallas_kernels as pk
+    import functools
+    orig = pk.masked_scores_pallas
+    pk.masked_scores_pallas = functools.partial(orig, block_b=8, block_m=256, interpret=True)
+    try:
+        fused = Evaluator(
+            tiny_data, model, EvalConfig(test_batch=8, topks=(10,), use_pallas_scoring=True)
+        ).run(params)
+    finally:
+        pk.masked_scores_pallas = orig
+    for k in base:
+        np.testing.assert_allclose(base[k], fused[k], atol=1e-6)
