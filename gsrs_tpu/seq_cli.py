@@ -1,4 +1,4 @@
-"""CLI for the sequential recommendation family (SASRec / GRU4Rec).
+"""CLI for the sequential recommendation family (SASRec / GRU4Rec / BERT4Rec).
 
 The reference repo's name promises sequential recommendation but has no
 code for it; this is the training entry point for the TPU-native family:
@@ -21,7 +21,9 @@ from typing import Optional
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gsrs_tpu.seq")
-    p.add_argument("--model", choices=["sasrec", "gru4rec"], default="sasrec")
+    p.add_argument(
+        "--model", choices=["sasrec", "gru4rec", "bert4rec"], default="sasrec"
+    )
     p.add_argument("--dataset", type=str, default="gowalla")
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--synthetic", action="store_true", help="markov synthetic data")
@@ -67,7 +69,22 @@ def main(argv: Optional[list] = None) -> None:
         f"{seq_data.m_items} items, max_len {seq_data.max_len}"
     )
 
-    if args.model == "sasrec":
+    if args.model == "bert4rec":
+        from gsrs_tpu.models.bert4rec import BERT4Rec, BERT4RecConfig
+
+        model = BERT4Rec(
+            BERT4RecConfig(
+                m_items=seq_data.m_items,
+                max_len=args.max_len,
+                embedding_dim=args.dim,
+                num_blocks=args.blocks,
+                num_heads=args.heads,
+                ffn_hidden=args.hidden,
+                dropout_rate=args.dropout,
+                bf16_compute=args.bf16,
+            )
+        )
+    elif args.model == "sasrec":
         from gsrs_tpu.models.sasrec import SASRec, SASRecConfig
 
         model = SASRec(

@@ -141,3 +141,74 @@ def test_gru4rec_learns_markov_structure():
     final = trainer.evaluate(state)
     assert losses[-1] < losses[0] * 0.7
     assert final["recall@10"] > 0.2, final
+
+
+# ----------------------------------------------------------------- bert4rec
+
+
+def test_bert4rec_cloze_mask_only_real_positions():
+    from gsrs_tpu.models.bert4rec import BERT4Rec, BERT4RecConfig
+
+    cfg = BERT4RecConfig(m_items=50, max_len=8, embedding_dim=16, mask_prob=0.3)
+    model = BERT4Rec(cfg)
+    seqs = jnp.asarray(
+        [[0, 0, 0, 0, 1, 2, 3, 4], [0, 0, 0, 0, 0, 0, 0, 9]], jnp.int32
+    )
+    corrupted, masked = model.cloze_mask(jax.random.key(0), seqs)
+    corrupted, masked = np.asarray(corrupted), np.asarray(masked)
+    # padding is never masked
+    assert not masked[np.asarray(seqs) == 0].any()
+    # every sequence has >= 1 masked position (forced last if none drawn)
+    assert masked.any(axis=1).all()
+    # masked positions carry the MASK token, others are untouched
+    assert (corrupted[masked] == cfg.mask_token).all()
+    np.testing.assert_array_equal(corrupted[~masked], np.asarray(seqs)[~masked])
+
+
+def test_bert4rec_is_bidirectional():
+    """Changing a later item MUST change earlier hidden states (the
+    defining contrast with SASRec's causal encoder)."""
+    from gsrs_tpu.models.bert4rec import BERT4Rec, BERT4RecConfig
+
+    cfg = BERT4RecConfig(m_items=50, max_len=8, embedding_dim=16, num_blocks=2)
+    model = BERT4Rec(cfg)
+    params = model.init_params(jax.random.key(0))
+    seq = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    seq2 = seq.at[0, 6].set(49)
+    h1, h2 = model.encode(params, seq), model.encode(params, seq2)
+    assert np.abs(np.asarray(h1[0, :6]) - np.asarray(h2[0, :6])).max() > 1e-4
+
+
+def test_bert4rec_eval_query_finite():
+    from gsrs_tpu.models.bert4rec import BERT4Rec, BERT4RecConfig
+
+    cfg = BERT4RecConfig(m_items=50, max_len=8, embedding_dim=16)
+    model = BERT4Rec(cfg)
+    params = model.init_params(jax.random.key(1))
+    seqs = jnp.asarray([[0, 0, 0, 0, 1, 2, 3, 4]], jnp.int32)
+    scores = model.score_catalog(params, seqs)
+    assert scores.shape == (1, 50)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+@pytest.mark.slow
+def test_bert4rec_learns_markov_structure():
+    from gsrs_tpu.models.bert4rec import BERT4Rec, BERT4RecConfig
+
+    data = synthetic_markov_sequences(
+        n_users=300, m_items=100, n_clusters=5, max_len=20, seed=0
+    )
+    cfg = BERT4RecConfig(
+        m_items=100, max_len=20, embedding_dim=32, num_blocks=1,
+        dropout_rate=0.0, mask_prob=0.3,
+    )
+    model = BERT4Rec(cfg)
+    trainer = SeqTrainer(model, data, batch_size=64, lr=3e-3, topks=(10,))
+    state = trainer.init_state()
+    losses = []
+    for _ in range(20):
+        state, loss = trainer.train_epoch(state)
+        losses.append(loss)
+    final = trainer.evaluate(state)
+    assert losses[-1] < losses[0] * 0.7
+    assert final["recall@10"] > 0.2, final
