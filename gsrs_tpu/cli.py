@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load", type=int, default=0)
     p.add_argument("--pretrain", type=int, default=0)
     p.add_argument("--seed", type=int, default=2020)
-    p.add_argument("--model", type=str, default="lgn", choices=["lgn", "mf"])
+    p.add_argument("--model", type=str, default="lgn", choices=["lgn", "mf", "ngcf"])
     p.add_argument("--multicore", type=int, default=0)
     # PPR (accepted for parity; ignored by the live model, as in the
     # reference — code/parse.py:69-74 vs code/model.py:222)

@@ -125,3 +125,77 @@ def test_i2i_fusion(tiny_data, rng):
     _, ai_base = base.propagate(params)
     expect = np.asarray(ai_base) + 0.3 * (dense @ np.asarray(ai_base))
     np.testing.assert_allclose(np.asarray(ai), expect, atol=1e-5)
+
+
+# --------------------------------------------------------------------- ngcf
+
+
+def _dense_ngcf_propagate(data, params, k_layers):
+    """Numpy oracle of the NGCF layer over the dense normalized adjacency."""
+    A = dense_normalized_adjacency(data)
+    n = data.n_users
+    x = np.concatenate(
+        [np.asarray(params["user_emb"]), np.asarray(params["item_emb"])], axis=0
+    )
+
+    def norm(v):
+        return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-6)
+
+    outs = [norm(x)]
+    cur = x
+    for k in range(k_layers):
+        agg = A @ cur
+        w1, w2 = np.asarray(params[f"ngcf_w1_{k}"]), np.asarray(params[f"ngcf_w2_{k}"])
+        b1, b2 = np.asarray(params[f"ngcf_b1_{k}"]), np.asarray(params[f"ngcf_b2_{k}"])
+        pre = (cur + agg) @ w1 + b1 + (agg * cur) @ w2 + b2
+        cur = np.where(pre > 0, pre, 0.2 * pre)
+        outs.append(norm(cur))
+    out = np.concatenate(outs, axis=1)
+    return out[:n], out[n:]
+
+
+def test_ngcf_propagation_matches_dense_oracle(tiny_data):
+    from gsrs_tpu.models.ngcf import NGCF
+
+    cfg = ModelConfig(model="ngcf", num_layers=2, embedding_dim=8)
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    model = NGCF(cfg, g)
+    params = model.init_params(jax.random.key(0))
+    au, ai = model.propagate(params)
+    assert au.shape == (tiny_data.n_users, 8 * 3)
+    eu, ei = _dense_ngcf_propagate(tiny_data, params, 2)
+    np.testing.assert_allclose(np.asarray(au), eu, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ai), ei, atol=1e-4)
+
+
+def test_ngcf_trains_via_registry(tiny_data):
+    import optax
+
+    from gsrs_tpu.models.registry import build_model
+    from gsrs_tpu.ops.ell import ell_from_interactions
+
+    cfg = ModelConfig(model="ngcf", num_layers=2, embedding_dim=8)
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    model = build_model(cfg, g, ell=ell_from_interactions(tiny_data))
+    params = model.init_params(jax.random.key(0))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    users = np.arange(16) % tiny_data.n_users
+    pos = np.array([tiny_data.positives_of(u)[0] for u in users])
+    neg = (pos + 7) % tiny_data.m_items
+
+    @jax.jit
+    def step(p, s):
+        def loss_fn(p):
+            loss, aux = model.bpr_loss(p, users, pos, neg)
+            return loss + 1e-4 * aux["reg"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8
