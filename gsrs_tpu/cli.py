@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load", type=int, default=0)
     p.add_argument("--pretrain", type=int, default=0)
     p.add_argument("--seed", type=int, default=2020)
-    p.add_argument("--model", type=str, default="lgn", choices=["lgn", "mf", "ngcf"])
+    p.add_argument("--model", type=str, default="lgn", choices=["lgn", "mf", "ngcf", "xsimgcl"])
     p.add_argument("--multicore", type=int, default=0)
     # PPR (accepted for parity; ignored by the live model, as in the
     # reference — code/parse.py:69-74 vs code/model.py:222)
@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume_path", type=str, default=None)
     p.add_argument("--save_every", type=int, default=10)
     p.add_argument("--keep_topk", type=int, default=0)
+    # XSimGCL contrastive flags (model=xsimgcl; no reference counterpart)
+    p.add_argument("--cl_lambda", type=float, default=0.2)
+    p.add_argument("--cl_temp", type=float, default=0.2)
+    p.add_argument("--cl_eps", type=float, default=0.2)
+    p.add_argument("--cl_layer", type=int, default=1)
     # TPU-native additions (no reference counterpart)
     p.add_argument("--bf16", action="store_true", help="bf16 propagation/scoring")
     p.add_argument(
@@ -134,6 +139,10 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             use_ppr_weights=args.use_ppr_weights,
             ppr_weights_path=args.ppr_weights_path,
             exp_smooth_beta=args.exp_smooth_beta,
+            cl_lambda=args.cl_lambda,
+            cl_temp=args.cl_temp,
+            cl_eps=args.cl_eps,
+            cl_layer=args.cl_layer,
             bf16_compute=args.bf16,
             spmm_mode=args.spmm,
         ),

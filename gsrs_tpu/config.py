@@ -82,6 +82,13 @@ class ModelConfig:
     ppr_weights_path: Optional[str] = None
     exp_smooth_beta: float = 0.0
 
+    # XSimGCL contrastive settings (model='xsimgcl' only; no reference
+    # counterpart — the framework's beat-the-baseline graph model).
+    cl_lambda: float = 0.2  # InfoNCE coefficient
+    cl_temp: float = 0.2  # softmax temperature
+    cl_eps: float = 0.2  # per-layer noise magnitude
+    cl_layer: int = 1  # which layer provides the second view
+
     # Numerics: embeddings/optimizer state in fp32; propagation and scoring
     # matmuls may run in bf16 on the MXU when True.
     bf16_compute: bool = False

@@ -13,12 +13,14 @@ from gsrs_tpu.data.adjacency import BipartiteGraph
 from gsrs_tpu.models.lightgcn import ItemItemGraph, LightGCN
 from gsrs_tpu.models.mf import PureMF
 from gsrs_tpu.models.ngcf import NGCF
+from gsrs_tpu.models.xsimgcl import XSimGCL
 from gsrs_tpu.ops.ell import EllGraph
 
 MODELS = {
     "lgn": LightGCN,
     "mf": PureMF,
     "ngcf": NGCF,
+    "xsimgcl": XSimGCL,
 }
 
 

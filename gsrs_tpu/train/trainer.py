@@ -117,7 +117,11 @@ class Trainer:
     def _build_epoch_fn(self):
         model, opt = self.model, self.optimizer
         decay = self.cfg.train.decay
-        use_dropout = self.cfg.model.dropout
+        # Models that consume per-step randomness beyond edge dropout
+        # (e.g. XSimGCL's noise views) declare needs_step_key.
+        use_dropout = self.cfg.model.dropout or getattr(
+            model, "needs_step_key", False
+        )
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, graph, ell, users_b, pos_b, neg_b, drop_keys):
