@@ -283,6 +283,7 @@ class Trainer:
         valid_csv = make_valid_csv(t_cfg.checkpoint_dir, self.cfg.eval.topks)
         tb = TensorboardWriter(log_dir if t_cfg.tensorboard else None, t_cfg.comment)
         main_k = max(self.cfg.eval.topks)
+        last_eval_epoch = -1
 
         try:
             while state.epoch < epochs:
@@ -290,6 +291,7 @@ class Trainer:
                     self.evaluator is not None
                     and state.epoch % t_cfg.eval_every == 0
                 ):
+                    last_eval_epoch = state.epoch
                     t0 = time.time()
                     metrics = self.evaluate(state)
                     eval_sec = time.time() - t0
@@ -341,8 +343,10 @@ class Trainer:
 
             # Final eval after the last epoch (the reference's loop pattern
             # never evaluates the final state, code/main.py:185-242 — the
-            # epoch-1000 numbers it reports are from epoch 990).
-            if self.evaluator is not None and state.epoch % t_cfg.eval_every != 0:
+            # epoch-1000 numbers it reports are from epoch 990). The in-loop
+            # eval fires BEFORE an epoch trains, so the state after the last
+            # epoch has never been evaluated regardless of divisibility.
+            if self.evaluator is not None and last_eval_epoch != state.epoch:
                 metrics = self.evaluate(state)
                 row = {
                     "epoch": state.epoch,

@@ -125,3 +125,14 @@ def test_mf_model_trains(tiny_cluster_data, tmp_path):
         state, loss = trainer.train_epoch(state)
         losses.append(loss)
     assert losses[-1] < losses[0]
+
+
+def test_final_epoch_always_evaluated(tiny_cluster_data, tmp_path):
+    """Regression: when epochs is a multiple of eval_every, the in-loop
+    eval fires before training each epoch, so the final state must still
+    get the post-loop final eval."""
+    trainer = make_trainer(tiny_cluster_data, tmp_path)  # eval_every=5
+    trainer.fit(epochs=5, verbose=False)
+    rows = (tmp_path / "valid_epoch_metrics.csv").read_text().splitlines()
+    epochs_evaled = [int(r.split(",")[0]) for r in rows[1:]]
+    assert 0 in epochs_evaled and 5 in epochs_evaled
