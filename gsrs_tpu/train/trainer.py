@@ -167,34 +167,52 @@ class Trainer:
             jax.random.key(self.cfg.train.seed), state.epoch
         )
         k_sample, k_drop = jax.random.split(epoch_key)
-        users_b, pos_b, neg_b = sample_epoch(
-            k_sample,
-            self.sampler_state,
-            self.epoch_samples or self.data.train_size,
-            self.cfg.train.batch_size,
-        )
-        drop_keys = jax.random.split(k_drop, users_b.shape[0])
-        if self._shardings is not None:
+        B = self.cfg.train.batch_size
+        epoch_size = self.epoch_samples or self.data.train_size
+        num_batches = max(1, -(-epoch_size // B))
+        # steps_per_scan chunks the epoch: each chunk samples its own
+        # triplets and runs one scan segment, bounding the (chunk, B)
+        # batch buffers on device — needed when --epoch_samples reaches
+        # tens of millions. 0 = whole epoch in one sample + one scan.
+        spc = self.cfg.train.steps_per_scan or num_batches
+
+        def _place(batches):
+            if self._shardings is None:
+                return batches
             # batches: (num_batches, B) sharded over 'data' on the batch dim
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             bspec = NamedSharding(self.mesh, P(None, "data"))
-            users_b = jax.device_put(users_b, bspec)
-            pos_b = jax.device_put(pos_b, bspec)
-            neg_b = jax.device_put(neg_b, bspec)
-        params, opt_state, mean_loss = self._epoch_fn(
-            state.params,
-            state.opt_state,
-            self.graph,
-            self.model.ell,
-            users_b,
-            pos_b,
-            neg_b,
-            drop_keys,
-        )
+            return tuple(jax.device_put(b, bspec) for b in batches)
+
+        params, opt_state = state.params, state.opt_state
+        loss_acc = 0.0
+        for chunk_i, c0 in enumerate(range(0, num_batches, spc)):
+            n = min(spc, num_batches - c0)
+            kc = k_sample if spc >= num_batches else jax.random.fold_in(
+                k_sample, chunk_i
+            )
+            kd = k_drop if spc >= num_batches else jax.random.fold_in(
+                k_drop, chunk_i
+            )
+            users_b, pos_b, neg_b = _place(
+                sample_epoch(kc, self.sampler_state, n * B, B)
+            )
+            drop_keys = jax.random.split(kd, n)
+            params, opt_state, mean_loss = self._epoch_fn(
+                params,
+                opt_state,
+                self.graph,
+                self.model.ell,
+                users_b,
+                pos_b,
+                neg_b,
+                drop_keys,
+            )
+            loss_acc = loss_acc + mean_loss * n
         return (
             TrainState(params, opt_state, state.epoch + 1, state.best_metric),
-            float(mean_loss),
+            float(loss_acc) / num_batches,
         )
 
     # ------------------------------------------------------------------ eval

@@ -136,3 +136,20 @@ def test_final_epoch_always_evaluated(tiny_cluster_data, tmp_path):
     rows = (tmp_path / "valid_epoch_metrics.csv").read_text().splitlines()
     epochs_evaled = [int(r.split(",")[0]) for r in rows[1:]]
     assert 0 in epochs_evaled and 5 in epochs_evaled
+
+
+def test_steps_per_scan_chunks_train(tiny_cluster_data, tmp_path):
+    """Chunked scanning must train fine and produce losses in the same
+    regime as the single-scan path (different RNG stream per chunk, so
+    exact equality is not expected)."""
+    t1 = make_trainer(tiny_cluster_data, tmp_path / "a")
+    t2 = make_trainer(tiny_cluster_data, tmp_path / "b", steps_per_scan=1)
+    assert t2.steps_per_epoch > 1  # the chunking is actually exercised
+    s1, s2 = t1.init_state(), t2.init_state()
+    l1 = l2 = None
+    for _ in range(5):
+        s1, l1 = t1.train_epoch(s1)
+        s2, l2 = t2.train_epoch(s2)
+    assert s2.epoch == 5
+    assert np.isfinite(l2)
+    assert l2 < 0.6 and abs(l1 - l2) < 0.15
