@@ -1,0 +1,191 @@
+"""Retrieval serving: precomputed embeddings + jitted masked top-k.
+
+The reference has no serving story (SURVEY.md §1: no serving layer); this
+module closes the loop from training to deployment:
+
+- ``Retriever``: propagation runs ONCE at load time (the expensive part);
+  each request is a single jitted step — gather user rows → (B, m) matmul
+  on the MXU → packed-bitset mask of already-seen items → ``lax.top_k``.
+  Static request shapes: requests are padded to the configured batch size
+  so one compiled program serves every call.
+- ``export_embeddings`` / ``load_retriever``: write the post-propagation
+  user/item tables + the seen-item bitset to one npz artifact, so serving
+  needs neither the training graph nor the model code — only this module.
+
+CLI:
+  python -m gsrs_tpu.serve export --checkpoint_dir checkpoints --dataset_dir data/gowalla --out emb.npz
+  python -m gsrs_tpu.serve query  --artifact emb.npz --users 0 1 2 --k 20
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsrs_tpu.ops.bitset import build_bitset
+from gsrs_tpu.ops.topk import masked_topk
+
+
+@dataclasses.dataclass
+class Retriever:
+    """Serves top-k recommendations from precomputed final embeddings."""
+
+    user_emb: jax.Array  # (n, d) post-propagation user representations
+    item_emb: jax.Array  # (m, d) post-propagation (+fused) item table
+    seen_bitset: jax.Array  # (n, ceil(m/32)) uint32 — items to exclude
+    batch_size: int = 256
+
+    def __post_init__(self):
+        self._fn = jax.jit(
+            masked_topk, static_argnames=("k", "method", "recall_target")
+        )
+
+    @property
+    def n_users(self) -> int:
+        return int(self.user_emb.shape[0])
+
+    @property
+    def m_items(self) -> int:
+        return int(self.item_emb.shape[0])
+
+    def recommend(
+        self, user_ids: Sequence[int], k: int = 20
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (items, scores), each (len(user_ids), k); already-seen items
+        are excluded. Requests pad to ``batch_size`` so every call reuses
+        one compiled program."""
+        ids = np.asarray(user_ids, dtype=np.int32)
+        B = self.batch_size
+        out_items = np.empty((ids.size, k), np.int32)
+        out_scores = np.empty((ids.size, k), np.float32)
+        for s in range(0, ids.size, B):
+            chunk = ids[s : s + B]
+            padded = np.zeros(B, np.int32)
+            padded[: chunk.size] = chunk
+            scores, items = self._fn(
+                self.user_emb[padded],
+                self.item_emb,
+                self.seen_bitset[padded],
+                k=k,
+            )
+            out_items[s : s + B] = np.asarray(items)[: chunk.size]
+            out_scores[s : s + B] = np.asarray(scores)[: chunk.size]
+        return out_items, out_scores
+
+
+def retriever_from_model(
+    model, params, data, batch_size: int = 256
+) -> Retriever:
+    """Build a Retriever from a live graph model (LightGCN family): one
+    propagation + fusion, then the train-interaction bitset for masking."""
+    all_users, items, _ = jax.jit(
+        lambda p, g, e: model.final_embeddings(p, graph=g, ell=e)
+    )(params, model.graph, model.ell)
+    seen = jnp.asarray(
+        build_bitset(
+            data.train_users, data.train_items, data.n_users, data.m_items
+        )
+    )
+    return Retriever(all_users, items, seen, batch_size=batch_size)
+
+
+def export_embeddings(retriever: Retriever, path: str) -> None:
+    """Persist the serving artifact (post-propagation tables + bitset)."""
+    np.savez_compressed(
+        path,
+        user_emb=np.asarray(retriever.user_emb, np.float32),
+        item_emb=np.asarray(retriever.item_emb, np.float32),
+        seen_bitset=np.asarray(retriever.seen_bitset),
+    )
+
+
+def load_retriever(path: str, batch_size: int = 256) -> Retriever:
+    with np.load(path) as z:
+        return Retriever(
+            jnp.asarray(z["user_emb"]),
+            jnp.asarray(z["item_emb"]),
+            jnp.asarray(z["seen_bitset"]),
+            batch_size=batch_size,
+        )
+
+
+# --------------------------------------------------------------------- CLI
+
+
+def main(argv: Optional[list] = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="gsrs_tpu.serve")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    exp = sub.add_parser("export", help="checkpoint → serving artifact")
+    exp.add_argument("--checkpoint_dir", required=True)
+    exp.add_argument("--dataset_dir", required=True)
+    exp.add_argument("--out", required=True)
+    exp.add_argument("--model", default="lgn")
+    exp.add_argument("--layer", type=int, default=3)
+    exp.add_argument("--recdim", type=int, default=64)
+    exp.add_argument("--bf16", action="store_true")
+
+    qry = sub.add_parser("query", help="artifact → recommendations")
+    qry.add_argument("--artifact", required=True)
+    qry.add_argument("--users", type=int, nargs="+", required=True)
+    qry.add_argument("--k", type=int, default=20)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "export":
+        from gsrs_tpu.config import ModelConfig
+        from gsrs_tpu.data.adjacency import build_graph
+        from gsrs_tpu.data.dataset import load_dataset
+        from gsrs_tpu.models.registry import build_model
+        from gsrs_tpu.ops.ell import ell_from_interactions
+        from gsrs_tpu.train.checkpoint import CheckpointManager
+
+        data = load_dataset(args.dataset_dir)
+        graph = build_graph(data, cache_dir=args.dataset_dir)
+        cfg = ModelConfig(
+            model=args.model,
+            num_layers=args.layer,
+            embedding_dim=args.recdim,
+            bf16_compute=args.bf16,
+        )
+        model = build_model(cfg, graph, ell=ell_from_interactions(data))
+        params = model.init_params(jax.random.key(0))
+        from gsrs_tpu.config import TrainConfig
+        from gsrs_tpu.train.checkpoint import legacy_name
+        from gsrs_tpu.train.optim import make_optimizer
+
+        optimizer, _ = make_optimizer(TrainConfig(), steps_per_epoch=1)
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        path = ckpt.resolve_resume_path(
+            None,
+            legacy_name(args.model, data.name, args.layer, args.recdim),
+        )
+        if path is None:
+            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+        restored = ckpt.restore(
+            path,
+            {
+                "params": params,
+                "opt_state": optimizer.init(params),
+                "epoch": np.asarray(0, np.int64),
+                "best_metric": np.asarray(0.0, np.float64),
+            },
+        )
+        r = retriever_from_model(model, restored["params"], data)
+        export_embeddings(r, args.out)
+        print(f"[serve] exported {args.out}: {r.n_users} users × {r.m_items} items")
+    else:
+        r = load_retriever(args.artifact)
+        items, scores = r.recommend(args.users, k=args.k)
+        for u, its, scs in zip(args.users, items, scores):
+            pairs = " ".join(f"{i}:{s:.3f}" for i, s in zip(its, scs))
+            print(f"user {u}: {pairs}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Serving tests: retriever masks seen items, matches the eval top-k,
+artifact roundtrips, and the export/query CLI works end to end."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gsrs_tpu.config import ModelConfig
+from gsrs_tpu.data.adjacency import build_graph
+from gsrs_tpu.models.registry import build_model
+from gsrs_tpu.ops.bitset import build_bitset
+from gsrs_tpu.ops.ell import ell_from_interactions
+from gsrs_tpu.ops.topk import masked_topk
+from gsrs_tpu.serve import (
+    Retriever,
+    export_embeddings,
+    load_retriever,
+    retriever_from_model,
+)
+
+
+def _model_and_params(data, seed=0):
+    cfg = ModelConfig(num_layers=2, embedding_dim=8)
+    graph = build_graph(data, edge_pad_multiple=256)
+    model = build_model(cfg, graph, ell=ell_from_interactions(data))
+    return model, model.init_params(jax.random.key(seed))
+
+
+def test_retriever_excludes_seen_and_matches_eval_topk(tiny_data):
+    model, params = _model_and_params(tiny_data)
+    r = retriever_from_model(model, params, tiny_data, batch_size=16)
+    users = list(range(0, tiny_data.n_users, 3))
+    items, scores = r.recommend(users, k=10)
+    assert items.shape == (len(users), 10)
+    # no seen item ever recommended
+    net = np.zeros((tiny_data.n_users, tiny_data.m_items), bool)
+    net[tiny_data.train_users, tiny_data.train_items] = True
+    for u, row in zip(users, items):
+        assert not net[u, row].any()
+    # identical to the shared eval masked_topk
+    all_u, all_i, _ = model.final_embeddings(params)
+    tb = jnp.asarray(
+        build_bitset(
+            tiny_data.train_users,
+            tiny_data.train_items,
+            tiny_data.n_users,
+            tiny_data.m_items,
+        )
+    )
+    ref_scores, ref_items = masked_topk(
+        all_u[np.asarray(users)], all_i, tb[np.asarray(users)], 10
+    )
+    np.testing.assert_array_equal(items, np.asarray(ref_items))
+    np.testing.assert_allclose(scores, np.asarray(ref_scores), atol=1e-6)
+
+
+def test_artifact_roundtrip(tiny_data, tmp_path):
+    model, params = _model_and_params(tiny_data)
+    r = retriever_from_model(model, params, tiny_data)
+    path = str(tmp_path / "emb.npz")
+    export_embeddings(r, path)
+    r2 = load_retriever(path)
+    i1, s1 = r.recommend([1, 5, 9], k=5)
+    i2, s2 = r2.recommend([1, 5, 9], k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_cli_export_and_query(tmp_path, capsys):
+    """Train 2 epochs, export from the saved checkpoint, query."""
+    from gsrs_tpu.config import EvalConfig, ExperimentConfig, TrainConfig
+    from gsrs_tpu.data.dataset import write_interaction_file
+    from gsrs_tpu.data.synthetic import clustered
+    from gsrs_tpu.serve import main as serve_main
+    from gsrs_tpu.train.trainer import Trainer
+
+    data = clustered(40, 60, n_clusters=4, seed=0)
+    ddir = tmp_path / "ds"
+    ddir.mkdir()
+    write_interaction_file(
+        str(ddir / "train.txt"), data.train_users, data.train_items
+    )
+    with open(ddir / "test.txt", "w") as f:
+        for u, its in data.test_dict.items():
+            f.write(f"{u} " + " ".join(map(str, its)) + "\n")
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_layers=2, embedding_dim=8),
+        train=TrainConfig(
+            batch_size=64, epochs=2, checkpoint_dir=str(tmp_path / "ck"),
+            tensorboard=False,
+        ),
+        eval=EvalConfig(test_batch=32),
+    )
+    graph = build_graph(data, edge_pad_multiple=256)
+    model = build_model(cfg.model, graph, ell=ell_from_interactions(data))
+    Trainer(cfg, data, graph, model).fit(verbose=False)
+
+    art = str(tmp_path / "emb.npz")
+    serve_main(
+        [
+            "export",
+            "--checkpoint_dir", str(tmp_path / "ck"),
+            "--dataset_dir", str(ddir),
+            "--out", art,
+            "--layer", "2",
+            "--recdim", "8",
+        ]
+    )
+    serve_main(["query", "--artifact", art, "--users", "0", "3", "--k", "5"])
+    out = capsys.readouterr().out
+    assert "user 0:" in out and "user 3:" in out
