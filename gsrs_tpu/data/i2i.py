@@ -95,9 +95,15 @@ def build_item_item(
     data: InteractionData, scheme: str = "cooc", topk: int = 10
 ) -> sp.csr_matrix:
     """Full pipeline: counts → weighting → top-k prune → symmetrize +
-    normalize. Returns the (m × m) CSR the model's i2i fusion consumes."""
+    normalize. Returns the (m × m) CSR the model's i2i fusion consumes.
+
+    Degrees for the weighting are BINARY basket counts (rows of the
+    deduplicated interaction matrix) so they stay consistent with the
+    binary co-occurrence counts when train.txt repeats a (user, item)
+    pair — `data.item_degrees` counts duplicates."""
     C = cooccurrence_counts(data)
-    W = weight_matrix(C, data.item_degrees, scheme)
+    binary_deg = np.asarray(data.user_item_net.sum(axis=0)).ravel()
+    W = weight_matrix(C, binary_deg, scheme)
     P = topk_prune(W, topk)
     return symmetrize_and_normalize(P)
 

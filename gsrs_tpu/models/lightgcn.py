@@ -246,6 +246,19 @@ class LightGCN:
         all_users, items, gate = self.final_embeddings(
             params, dropout_key, graph, ell
         )
+        return self._pairwise_bpr(all_users, items, gate, users, pos, neg)
+
+    def _pairwise_bpr(
+        self,
+        all_users: jax.Array,
+        items: jax.Array,
+        gate: Optional[jax.Array],
+        users: jax.Array,
+        pos: jax.Array,
+        neg: jax.Array,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """BPR + reg (+ gate-entropy bonus) on already-propagated/fused
+        embeddings — shared by every graph model's loss."""
         u = all_users[users]
         pe = items[pos]
         ne = items[neg]

@@ -40,6 +40,7 @@ from gsrs_tpu.config import ModelConfig
 from gsrs_tpu.data.adjacency import BipartiteGraph
 from gsrs_tpu.models.lightgcn import LightGCN, Params
 from gsrs_tpu.ops.ell import ell_propagate_layer
+from gsrs_tpu.ops.linalg import l2_normalize
 from gsrs_tpu.ops.spmm import propagate_layer
 
 
@@ -71,7 +72,12 @@ class NGCF(LightGCN):
     ) -> Tuple[jax.Array, jax.Array]:
         graph = self.graph if graph is None else graph
         ell = self.ell if ell is None else ell
-        use_ell = self.cfg.spmm_mode == "ell" and ell is not None
+        use_ell = self.cfg.spmm_mode == "ell" and self.cfg.num_layers > 0
+        if use_ell and ell is None:
+            raise ValueError(
+                "spmm_mode='ell' but the model was built without an EllGraph;"
+                " pass ell=ell_from_interactions(data) or use 'segment'"
+            )
 
         u = params["user_emb"]
         i = params["item_emb"]
@@ -84,11 +90,7 @@ class NGCF(LightGCN):
                 dropout_key, p=self.cfg.keep_prob, shape=graph.edge_w_by_u.shape
             ).astype(u.dtype) / self.cfg.keep_prob
 
-        def _norm(x):
-            return x * jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(x * x, axis=1, keepdims=True), 1e-12)
-            )
-
+        _norm = l2_normalize
         outs_u = [_norm(u.astype(jnp.float32))]
         outs_i = [_norm(i.astype(jnp.float32))]
         cur_u, cur_i = u, i

@@ -27,24 +27,18 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from gsrs_tpu.config import ModelConfig
 from gsrs_tpu.data.adjacency import BipartiteGraph
 from gsrs_tpu.models.lightgcn import LightGCN, Params
 from gsrs_tpu.ops.ell import ell_propagate_layer
-from gsrs_tpu.ops.spmm import propagate_layer
-
-
-def _l2norm(x: jax.Array) -> jax.Array:
-    return x * jax.lax.rsqrt(
-        jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-12)
-    )
+from gsrs_tpu.ops.linalg import l2_normalize
+from gsrs_tpu.ops.spmm import propagate_layer, spmm_edges
 
 
 def info_nce(z1: jax.Array, z2: jax.Array, temp: float) -> jax.Array:
     """Mean InfoNCE over rows: positives are the aligned pairs, negatives
     the rest of the batch (in-batch, duplicates kept — the official
     XSimGCL recipe)."""
-    z1, z2 = _l2norm(z1), _l2norm(z2)
+    z1, z2 = l2_normalize(z1), l2_normalize(z2)
     logits = (z1 @ z2.T) / temp  # (B, B)
     return -jnp.mean(
         jnp.diag(logits) - jax.nn.logsumexp(logits, axis=1)
@@ -55,9 +49,6 @@ class XSimGCL(LightGCN):
     # Trainer passes the per-step PRNG key whenever this is set, even with
     # edge dropout off — the noise views need it (train/trainer.py).
     needs_step_key = True
-
-    def __init__(self, cfg: ModelConfig, graph: BipartiteGraph, i2i=None, ell=None):
-        super().__init__(cfg, graph, i2i=i2i, ell=ell)
 
     # ----------------------------------------------------------- propagation
     def _propagate_views(
@@ -72,8 +63,13 @@ class XSimGCL(LightGCN):
         ``noise_key=None`` (eval) is exactly LightGCN.propagate."""
         graph = self.graph if graph is None else graph
         ell = self.ell if ell is None else ell
-        use_ell = self.cfg.spmm_mode == "ell" and ell is not None
         cfg = self.cfg
+        use_ell = cfg.spmm_mode == "ell" and cfg.num_layers > 0
+        if use_ell and ell is None:
+            raise ValueError(
+                "spmm_mode='ell' but the model was built without an EllGraph;"
+                " pass ell=ell_from_interactions(data) or use 'segment'"
+            )
 
         u = params["user_emb"]
         i = params["item_emb"]
@@ -91,7 +87,7 @@ class XSimGCL(LightGCN):
         def perturb(x, key):
             noise = jax.random.uniform(key, x.shape, dtype=jnp.float32)
             return x + (
-                cfg.cl_eps * jnp.sign(x.astype(jnp.float32)) * _l2norm(noise)
+                cfg.cl_eps * jnp.sign(x.astype(jnp.float32)) * l2_normalize(noise)
             ).astype(x.dtype)
 
         acc_u, acc_i = u, i
@@ -116,9 +112,16 @@ class XSimGCL(LightGCN):
             if k + 1 == cl_layer:
                 view_u, view_i = cur_u, cur_i
         scale = 1.0 / (cfg.num_layers + 1)
+        all_users = (acc_u * scale).astype(jnp.float32)
+        all_items = (acc_i * scale).astype(jnp.float32)
+        if self.i2i is not None and cfg.i2i_alpha > 0.0:
+            smoothed = spmm_edges(
+                self.i2i.dst, self.i2i.src, self.i2i.w, all_items, self.m_items
+            )
+            all_items = all_items + cfg.i2i_alpha * smoothed
         return (
-            (acc_u * scale).astype(jnp.float32),
-            (acc_i * scale).astype(jnp.float32),
+            all_users,
+            all_items,
             view_u.astype(jnp.float32),
             view_i.astype(jnp.float32),
         )
@@ -147,29 +150,11 @@ class XSimGCL(LightGCN):
             items, gate = self._fuse(params, all_i, graph)
         else:
             items, gate = all_i, None
-        u = all_u[users]
-        pe = items[pos]
-        ne = items[neg]
-        pos_scores = jnp.sum(u * pe, axis=1)
-        neg_scores = jnp.sum(u * ne, axis=1)
-        bpr = -jnp.mean(jax.nn.log_sigmoid(pos_scores - neg_scores))
-        batch = users.shape[0]
-        reg = 0.5 * (
-            jnp.sum(u * u) + jnp.sum(pe * pe) + jnp.sum(ne * ne)
-        ) / batch
-        loss = bpr
-        aux: Dict[str, jax.Array] = {"bpr": bpr, "reg": reg}
+        loss, aux = self._pairwise_bpr(all_u, items, gate, users, pos, neg)
         if dropout_key is not None and self.cfg.cl_lambda > 0.0:
             cl = info_nce(
                 all_u[users], view_u[users], self.cfg.cl_temp
             ) + info_nce(all_i[pos], view_i[pos], self.cfg.cl_temp)
             loss = loss + self.cfg.cl_lambda * cl
-            aux["cl"] = cl
-        if gate is not None:
-            g = jnp.clip(
-                jnp.concatenate([gate[pos], gate[neg]]), 1e-6, 1.0 - 1e-6
-            )
-            entropy = -jnp.mean(g * jnp.log(g) + (1 - g) * jnp.log(1 - g))
-            loss = loss - self.cfg.gate_entropy_coeff * entropy
-            aux["gate_entropy"] = entropy
+            aux = {**aux, "cl": cl}
         return loss, aux

@@ -59,6 +59,11 @@ class Retriever:
         are excluded. Requests pad to ``batch_size`` so every call reuses
         one compiled program."""
         ids = np.asarray(user_ids, dtype=np.int32)
+        if ids.size and (ids.min() < 0 or ids.max() >= self.n_users):
+            bad = ids[(ids < 0) | (ids >= self.n_users)]
+            raise ValueError(
+                f"user ids out of range [0, {self.n_users}): {bad[:5].tolist()}"
+            )
         B = self.batch_size
         out_items = np.empty((ids.size, k), np.int32)
         out_scores = np.empty((ids.size, k), np.float32)
@@ -130,6 +135,15 @@ def main(argv: Optional[list] = None) -> None:
     exp.add_argument("--layer", type=int, default=3)
     exp.add_argument("--recdim", type=int, default=64)
     exp.add_argument("--bf16", action="store_true")
+    # extension flags: must match the training config or the restored
+    # params / exported embeddings would silently diverge from training
+    exp.add_argument("--use_pop_gate", action="store_true")
+    exp.add_argument("--pop_hidden", type=int, default=32)
+    exp.add_argument("--gate_hidden", type=int, default=64)
+    exp.add_argument("--pop_gate_temp", type=float, default=1.0)
+    exp.add_argument("--use_item_item", action="store_true")
+    exp.add_argument("--i2i_path", default=None)
+    exp.add_argument("--i2i_alpha", type=float, default=0.1)
 
     qry = sub.add_parser("query", help="artifact → recommendations")
     qry.add_argument("--artifact", required=True)
@@ -152,8 +166,24 @@ def main(argv: Optional[list] = None) -> None:
             num_layers=args.layer,
             embedding_dim=args.recdim,
             bf16_compute=args.bf16,
+            use_pop_gate=args.use_pop_gate,
+            pop_hidden=args.pop_hidden,
+            gate_hidden=args.gate_hidden,
+            pop_gate_temp=args.pop_gate_temp,
+            use_item_item=args.use_item_item,
+            i2i_path=args.i2i_path,
+            i2i_alpha=args.i2i_alpha,
         )
-        model = build_model(cfg, graph, ell=ell_from_interactions(data))
+        i2i = None
+        if args.use_item_item and args.i2i_path:
+            import scipy.sparse as sp
+
+            from gsrs_tpu.models.lightgcn import ItemItemGraph
+
+            i2i = ItemItemGraph.from_scipy(sp.load_npz(args.i2i_path))
+        model = build_model(
+            cfg, graph, i2i=i2i, ell=ell_from_interactions(data)
+        )
         params = model.init_params(jax.random.key(0))
         from gsrs_tpu.config import TrainConfig
         from gsrs_tpu.train.checkpoint import legacy_name

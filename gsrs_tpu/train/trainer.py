@@ -175,6 +175,10 @@ class Trainer:
         # batch buffers on device — needed when --epoch_samples reaches
         # tens of millions. 0 = whole epoch in one sample + one scan.
         spc = self.cfg.train.steps_per_scan or num_batches
+        if spc < 1:
+            raise ValueError(
+                f"steps_per_scan must be >= 0, got {self.cfg.train.steps_per_scan}"
+            )
 
         def _place(batches):
             if self._shardings is None:

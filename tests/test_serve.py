@@ -111,3 +111,14 @@ def test_cli_export_and_query(tmp_path, capsys):
     serve_main(["query", "--artifact", art, "--users", "0", "3", "--k", "5"])
     out = capsys.readouterr().out
     assert "user 0:" in out and "user 3:" in out
+
+
+def test_retriever_rejects_out_of_range_ids(tiny_data):
+    import pytest
+
+    model, params = _model_and_params(tiny_data)
+    r = retriever_from_model(model, params, tiny_data)
+    with pytest.raises(ValueError, match="out of range"):
+        r.recommend([0, tiny_data.n_users], k=5)
+    with pytest.raises(ValueError, match="out of range"):
+        r.recommend([-1], k=5)

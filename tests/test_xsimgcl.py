@@ -87,3 +87,28 @@ def test_xsimgcl_trains_and_beats_chance(tmp_path):
     assert losses[-1] < losses[0]
     metrics = trainer.evaluate(state)
     assert metrics["recall@20"] > 0.2, metrics
+
+
+def test_xsimgcl_applies_i2i_smoothing(tiny_data):
+    """Regression: --use_item_item must not be a silent no-op on xsimgcl."""
+    import scipy.sparse as sp
+
+    from gsrs_tpu.data.i2i import build_item_item
+    from gsrs_tpu.models.lightgcn import ItemItemGraph
+
+    A = build_item_item(tiny_data, scheme="cooc", topk=3)
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    ell = ell_from_interactions(tiny_data)
+    cfg = ModelConfig(
+        model="xsimgcl", num_layers=2, embedding_dim=8,
+        use_item_item=True, i2i_alpha=0.5,
+    )
+    with_i2i = XSimGCL(cfg, g, i2i=ItemItemGraph.from_scipy(A, 64), ell=ell)
+    without = XSimGCL(
+        ModelConfig(model="xsimgcl", num_layers=2, embedding_dim=8), g, ell=ell
+    )
+    params = without.init_params(jax.random.key(0))
+    _, ai = with_i2i.propagate(params)
+    _, ai0 = without.propagate(params)
+    expect = np.asarray(ai0) + 0.5 * (A.toarray() @ np.asarray(ai0))
+    np.testing.assert_allclose(np.asarray(ai), expect, atol=1e-5)
