@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
 from typing import Optional
 
 
@@ -41,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--topks", type=str, default="[10,20]")
     p.add_argument("--seed", type=int, default=2020)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
     return p
 
 
@@ -123,19 +124,12 @@ def main(argv: Optional[list] = None) -> None:
         seed=args.seed,
         topks=topks_from_string(args.topks),
     )
-    state = trainer.init_state()
-    for epoch in range(1, args.epochs + 1):
-        t0 = time.time()
-        state, loss = trainer.train_epoch(state)
-        print(
-            f"[epoch {epoch}/{args.epochs}] loss={loss:.5f} ({time.time()-t0:.2f}s)"
-        )
-        if epoch % args.eval_every == 0 or epoch == args.epochs:
-            metrics = trainer.evaluate(state)
-            print(
-                f"[eval e{epoch}] "
-                + " ".join(f"{k}={v:.5f}" for k, v in sorted(metrics.items()))
-            )
+    trainer.fit(
+        epochs=args.epochs,
+        checkpoint_dir=args.checkpoint_dir,
+        eval_every=args.eval_every,
+        resume=args.resume,
+    )
 
 
 if __name__ == "__main__":

@@ -173,3 +173,93 @@ class SeqTrainer:
             for k, v in sums.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
         return {k: v / max(n_eval, 1) for k, v in totals.items()}
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        state: Optional[SeqTrainState] = None,
+        epochs: int = 100,
+        checkpoint_dir: Optional[str] = None,
+        eval_every: int = 10,
+        resume: bool = False,
+        verbose: bool = True,
+    ) -> SeqTrainState:
+        """Full training loop with the graph Trainer's amenities: CSV
+        logging (same schemas as reference code/main.py:98-133), per-epoch
+        last checkpoint, best-NDCG checkpoint, resume, and a final eval of
+        the last state. All optional: with no checkpoint_dir this is just
+        the epoch loop."""
+        import time as _time
+
+        state = state or self.init_state()
+        ckpt = train_csv = valid_csv = None
+        if checkpoint_dir:
+            from gsrs_tpu.train.checkpoint import CheckpointManager
+            from gsrs_tpu.train.logging import make_train_csv, make_valid_csv
+
+            ckpt = CheckpointManager(checkpoint_dir)
+            train_csv = make_train_csv(checkpoint_dir)
+            valid_csv = make_valid_csv(checkpoint_dir, self.topks)
+            if resume:
+                path = ckpt.resolve_resume_path(None)
+                if path is not None:
+                    restored = ckpt.restore(path, self._ckpt_state(state))
+                    state = SeqTrainState(
+                        restored["params"],
+                        restored["opt_state"],
+                        int(restored["epoch"]),
+                    )
+                    if verbose:
+                        print(f"[resume] restored from {path} (epoch {state.epoch})")
+
+        best_ndcg = 0.0
+        main_k = max(self.topks)
+        last_eval = -1
+        while state.epoch < epochs:
+            if state.epoch % eval_every == 0:
+                last_eval = state.epoch
+                metrics = self.evaluate(state)
+                self._log_eval(state, metrics, valid_csv, verbose)
+                if ckpt and metrics.get(f"ndcg@{main_k}", 0.0) > best_ndcg:
+                    best_ndcg = metrics[f"ndcg@{main_k}"]
+                    ckpt.save_best(self._ckpt_state(state), state.epoch)
+            t0 = _time.time()
+            state, loss = self.train_epoch(state)
+            dt = _time.time() - t0
+            if train_csv:
+                train_csv.append(
+                    {
+                        "epoch": state.epoch,
+                        "time_sec": f"{dt:.3f}",
+                        "train_loss": f"{loss:.6f}",
+                        "lr": "",
+                    }
+                )
+            if verbose:
+                print(f"[epoch {state.epoch}/{epochs}] loss={loss:.5f} ({dt:.2f}s)")
+            if ckpt:
+                ckpt.save_last(self._ckpt_state(state))
+        if last_eval != state.epoch:
+            metrics = self.evaluate(state)
+            self._log_eval(state, metrics, valid_csv, verbose)
+            if ckpt and metrics.get(f"ndcg@{main_k}", 0.0) > best_ndcg:
+                ckpt.save_best(self._ckpt_state(state), state.epoch)
+        return state
+
+    def _ckpt_state(self, state: SeqTrainState):
+        return {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "epoch": np.asarray(state.epoch, np.int64),
+        }
+
+    def _log_eval(self, state, metrics, valid_csv, verbose):
+        if valid_csv:
+            row = {"epoch": state.epoch, "time_sec": "", "lr": ""}
+            row.update({k: f"{v:.6f}" for k, v in metrics.items()})
+            valid_csv.append(row)
+        if verbose:
+            print(
+                f"[eval e{state.epoch}] "
+                + " ".join(f"{k}={v:.5f}" for k, v in sorted(metrics.items()))
+            )

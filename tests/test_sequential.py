@@ -212,3 +212,33 @@ def test_bert4rec_learns_markov_structure():
     final = trainer.evaluate(state)
     assert losses[-1] < losses[0] * 0.7
     assert final["recall@10"] > 0.2, final
+
+
+def test_seq_trainer_fit_checkpoints_and_resumes(tmp_path):
+    from gsrs_tpu.models.sasrec import SASRec, SASRecConfig
+
+    data = synthetic_markov_sequences(
+        n_users=100, m_items=50, n_clusters=5, max_len=10, seed=1
+    )
+    cfg = SASRecConfig(
+        m_items=50, max_len=10, embedding_dim=16, num_blocks=1, dropout_rate=0.0
+    )
+    trainer = SeqTrainer(SASRec(cfg), data, batch_size=50, topks=(10,))
+    state = trainer.fit(
+        epochs=3, checkpoint_dir=str(tmp_path), eval_every=2, verbose=False
+    )
+    assert state.epoch == 3
+    assert (tmp_path / "last").is_dir()
+    assert any(p.name.startswith("best-epoch") for p in tmp_path.iterdir())
+    train_rows = (tmp_path / "train_epoch_metrics.csv").read_text().splitlines()
+    assert len(train_rows) == 4  # header + 3 epochs
+    valid_rows = (tmp_path / "valid_epoch_metrics.csv").read_text().splitlines()
+    # evals at e0, e2 and the final e3
+    assert [int(r.split(",")[0]) for r in valid_rows[1:]] == [0, 2, 3]
+
+    trainer2 = SeqTrainer(SASRec(cfg), data, batch_size=50, topks=(10,))
+    state2 = trainer2.fit(
+        epochs=5, checkpoint_dir=str(tmp_path), eval_every=2,
+        resume=True, verbose=False,
+    )
+    assert state2.epoch == 5
