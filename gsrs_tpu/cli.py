@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument(
+        "--early_stop",
+        type=int,
+        default=0,
+        help="stop after N evals with no NDCG improvement (0 = off)",
+    )
+    p.add_argument(
         "--topk_method",
         type=str,
         default="exact",
@@ -163,6 +169,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             load_pretrained=bool(args.load),
             pretrain=args.pretrain,
             eval_every=args.eval_every,
+            early_stop_evals=args.early_stop,
             tensorboard=bool(args.tensorboard),
             comment=args.comment,
         ),

@@ -124,6 +124,10 @@ class TrainConfig:
     pretrain: int = 0
     # Eval cadence: reference evaluates every 10 epochs (code/main.py:187)
     eval_every: int = 10
+    # Early stopping: end training after this many consecutive evals
+    # without an NDCG improvement (0 = off, the reference behavior —
+    # it always runs all epochs and overfits past the peak).
+    early_stop_evals: int = 0
     # Logging
     tensorboard: bool = True
     comment: str = "lgn"

@@ -306,6 +306,7 @@ class Trainer:
         tb = TensorboardWriter(log_dir if t_cfg.tensorboard else None, t_cfg.comment)
         main_k = max(self.cfg.eval.topks)
         last_eval_epoch = -1
+        evals_since_best = 0
 
         try:
             while state.epoch < epochs:
@@ -335,6 +336,20 @@ class Trainer:
                         self.ckpt.save_best(
                             self._ckpt_state(state), state.epoch, t_cfg.keep_topk
                         )
+                        evals_since_best = 0
+                    else:
+                        evals_since_best += 1
+                        if (
+                            t_cfg.early_stop_evals
+                            and evals_since_best >= t_cfg.early_stop_evals
+                        ):
+                            if verbose:
+                                print(
+                                    f"[early-stop] no ndcg@{main_k} improvement"
+                                    f" in {evals_since_best} evals"
+                                    f" (best {state.best_metric:.5f})"
+                                )
+                            break
 
                 t0 = time.time()
                 state, loss = self.train_epoch(state)

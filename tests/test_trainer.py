@@ -153,3 +153,20 @@ def test_steps_per_scan_chunks_train(tiny_cluster_data, tmp_path):
     assert s2.epoch == 5
     assert np.isfinite(l2)
     assert l2 < 0.6 and abs(l1 - l2) < 0.15
+
+
+def test_early_stopping(tiny_cluster_data, tmp_path):
+    """With an impossible-to-improve patience of 1 eval and a model that
+    barely moves (lr ~0), training must stop at the second eval rather
+    than run all epochs."""
+    trainer = make_trainer(
+        tiny_cluster_data, tmp_path, early_stop_evals=1
+    )
+    # sabotage improvement: zero learning rate → metrics never improve
+    import optax
+
+    trainer.optimizer = optax.sgd(0.0)
+    trainer._epoch_fn = None
+    state = trainer.fit(epochs=50, verbose=False)
+    # evals happen at e0 (sets best) and e5 (no improvement → stop)
+    assert state.epoch == 5
