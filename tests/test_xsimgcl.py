@@ -112,3 +112,19 @@ def test_xsimgcl_applies_i2i_smoothing(tiny_data):
     _, ai0 = without.propagate(params)
     expect = np.asarray(ai0) + 0.5 * (A.toarray() @ np.asarray(ai0))
     np.testing.assert_allclose(np.asarray(ai), expect, atol=1e-5)
+
+
+def test_info_nce_unique_ignores_duplicates():
+    """A batch with duplicated ids must give the same CL loss as the
+    deduplicated batch (the official torch.unique semantics)."""
+    from gsrs_tpu.models.xsimgcl import info_nce_unique
+
+    rng = np.random.default_rng(0)
+    v1 = jnp.asarray(rng.standard_normal((20, 8)), jnp.float32)
+    v2 = jnp.asarray(rng.standard_normal((20, 8)), jnp.float32)
+    uniq = jnp.asarray([3, 7, 11, 15], jnp.int32)
+    dup = jnp.asarray([3, 7, 7, 11, 3, 15, 15, 15], jnp.int32)
+    a = float(info_nce_unique(uniq, v1, v2, 0.2))
+    b = float(info_nce_unique(dup, v1, v2, 0.2))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    assert np.isfinite(a)
