@@ -1,6 +1,6 @@
 """Data layer: interaction datasets, normalized bipartite adjacency,
-sequence construction, offline builders (i2i, Instacart), synthetic
-generators.
+sequence construction, offline builders (i2i, Instacart, MovieLens),
+synthetic generators.
 
 TPU-native rebuild of the reference's data layer
 (reference code/dataloader.py, code/prepare_instacart.py,

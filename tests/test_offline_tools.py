@@ -148,3 +148,58 @@ def test_instacart_prepare(tmp_path):
     assert data.train_size == 3  # u1:{10,11}, u2:{20}
     assert len(data.test_dict) == 2
     assert sum(len(v) for v in data.test_dict.values()) == 3  # {12,13},{21}
+
+
+def test_movielens_prepare_formats(tmp_path):
+    from gsrs_tpu.data.movielens import prepare_movielens
+
+    # ML-100K u.data style: user \t item \t rating \t ts
+    # u1: items 10(t1,r5) 11(t2,r4) 12(t3,r5) 13(t4,r4) — all positives
+    # u2: 10(t1,r4) 11(t2,r3→dropped) 12(t3,r4) — only 2 positives
+    rows = [
+        (1, 10, 5, 100), (1, 11, 4, 200), (1, 12, 5, 300), (1, 13, 4, 400),
+        (2, 10, 4, 100), (2, 11, 3, 200), (2, 12, 4, 300),
+    ]
+    udata = tmp_path / "u.data"
+    udata.write_text("".join(f"{u}\t{i}\t{r}\t{t}\n" for u, i, r, t in rows))
+
+    out = tmp_path / "ml"
+    n, m = prepare_movielens(
+        str(udata), str(out), min_rating=4.0, min_interactions=2,
+        split="leave_last",
+    )
+    data = load_dataset(str(out))
+    # u1 keeps {10,11,12} train, {13} test; u2 keeps {10} train, {12} test
+    assert (n, m) == (2, 4)
+    assert data.train_size == 4
+    assert len(data.test_dict) == 2
+
+    # ratio split: u1 has 4 positives, test_frac .5 → last 2 held out
+    out2 = tmp_path / "ml2"
+    prepare_movielens(
+        str(udata), str(out2), min_rating=4.0, min_interactions=2,
+        split="ratio", test_frac=0.5,
+    )
+    d2 = load_dataset(str(out2))
+    assert sum(len(v) for v in d2.test_dict.values()) == 3  # u1: 2, u2: 1
+
+    # ML-1M :: format parses identically
+    dat = tmp_path / "ratings.dat"
+    dat.write_text("".join(f"{u}::{i}::{r}::{t}\n" for u, i, r, t in rows))
+    out3 = tmp_path / "ml3"
+    assert prepare_movielens(
+        str(dat), str(out3), min_rating=4.0, min_interactions=2,
+        split="leave_last",
+    ) == (2, 4)
+
+    # ML-25M csv-with-header format
+    csvf = tmp_path / "ratings.csv"
+    csvf.write_text(
+        "userId,movieId,rating,timestamp\n"
+        + "".join(f"{u},{i},{r}.0,{t}\n" for u, i, r, t in rows)
+    )
+    out4 = tmp_path / "ml4"
+    assert prepare_movielens(
+        str(csvf), str(out4), min_rating=4.0, min_interactions=2,
+        split="leave_last",
+    ) == (2, 4)
