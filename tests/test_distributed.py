@@ -2,6 +2,7 @@
 train step must agree numerically with the single-device step, and the
 sharded eval top-k with the unsharded one."""
 
+import os
 import dataclasses
 
 import jax
@@ -210,3 +211,38 @@ def test_trainer_on_mesh_matches_single_device(tmp_path):
     m1, m8 = t1.evaluate(s1), t8.evaluate(s8)
     for k in m1:
         np.testing.assert_allclose(m1[k], m8[k], atol=1e-5)
+
+
+def test_stress_pod_plan_and_generator():
+    """Pod-scale stress harness (tools/stress_pod.py): memory-plan math
+    and the low-memory synthetic generator (BASELINE config 5)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "stress_pod",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stress_pod.py"),
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    plan = sp.memory_plan(
+        50_000_000, 10_000_000, 256, 27, 65536, 1024,
+        data_axis=4, model_axis=16,
+    )
+    # fp32 tables + Adam = 60M*256*4*3 / 16 shards ≈ 10.7 GiB — over the
+    # 12.8 GiB (80% of v5e HBM) budget together with activations
+    assert not plan["fits"]
+    assert plan["min_model_axis_for_fit"] > 16
+    plan32 = sp.memory_plan(
+        50_000_000, 10_000_000, 256, 27, 65536, 1024,
+        data_axis=2, model_axis=32,
+    )
+    assert plan32["fits"]
+
+    data = sp.big_synthetic(500, 200, avg_degree=5, seed=0)
+    assert data.train_users.size == 2500
+    assert data.train_users.min() >= 0 and data.train_users.max() == 499
+    assert data.train_items.min() >= 0 and data.train_items.max() < 200
+    # Zipf skew: item 0 (rank 1) should be among the most popular
+    counts = np.bincount(data.train_items, minlength=200)
+    assert counts[0] >= np.median(counts)
