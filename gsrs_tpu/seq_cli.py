@@ -58,12 +58,16 @@ def main(argv: Optional[list] = None) -> None:
     if args.synthetic:
         seq_data = synthetic_markov_sequences(max_len=args.max_len, seed=args.seed)
     else:
-        from gsrs_tpu.data.dataset import load_dataset
+        from gsrs_tpu.data.dataset import load_dataset, load_lastfm
 
         data_root = args.data_root or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
         )
-        data = load_dataset(os.path.join(data_root, args.dataset), name=args.dataset)
+        ddir = os.path.join(data_root, args.dataset)
+        if args.dataset == "lastfm":  # reference-shipped format, no train.txt
+            data = load_lastfm(ddir)
+        else:
+            data = load_dataset(ddir, name=args.dataset)
         seq_data = sequences_from_interactions(data, max_len=args.max_len)
     print(
         f"[seq] {seq_data.name}: {len(seq_data.train_seqs)} sequences, "
