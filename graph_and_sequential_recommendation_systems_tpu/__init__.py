@@ -23,3 +23,20 @@ def __getattr__(name):
     mod = _importlib.import_module(f"gsrs_tpu.{name}")
     _sys.modules[f"{__name__}.{name}"] = mod
     return mod
+
+
+# Pre-register the subpackages so the statement form
+# ``import graph_and_sequential_recommendation_systems_tpu.models`` also
+# resolves (the import system consults sys.modules, not __getattr__,
+# for dotted imports).
+for _sub in (
+    "data", "models", "ops", "parallel", "train", "utils", "native",
+    "cli", "config", "seq_cli", "serve",
+):
+    try:
+        _sys.modules[f"{__name__}.{_sub}"] = _importlib.import_module(
+            f"gsrs_tpu.{_sub}"
+        )
+    except ImportError:  # optional heavy deps may be absent in odd envs
+        pass
+del _sub
