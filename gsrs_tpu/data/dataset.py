@@ -105,6 +105,16 @@ class InteractionData:
         code/dataloader.py:145)."""
         return [self.positives_of(u) for u in range(self.n_users)]
 
+    def feedback_of(self, users: np.ndarray, items: np.ndarray) -> np.ndarray:
+        """Binary train feedback for (user, item) pairs (reference
+        getUserItemFeedback, code/dataloader.py:173-176): 1 where the
+        pair is a train interaction, else 0. uint8, same length as
+        ``users``."""
+        net = self.user_item_net
+        return np.asarray(
+            net[np.asarray(users), np.asarray(items)], dtype=np.uint8
+        ).ravel()
+
     def test_users(self) -> np.ndarray:
         """Sorted array of users that have ground-truth test items."""
         return np.sort(np.fromiter(self.test_dict.keys(), dtype=np.int64))

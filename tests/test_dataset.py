@@ -103,3 +103,16 @@ def test_write_preserve_order(tmp_path):
     lines = p.read_text().strip().splitlines()
     assert lines[0] == "1 9 2" or lines[1] == "1 9 2"
     assert "0 5 3" in lines  # user 0 keeps input order (5 then 3)
+
+
+def test_feedback_of(tiny_data):
+    """Reference getUserItemFeedback parity (code/dataloader.py:173-176)."""
+    d = tiny_data
+    u0 = int(d.train_users[0])
+    i_pos = int(d.train_items[0])
+    # an item u0 did NOT interact with
+    neg_candidates = np.setdiff1d(np.arange(d.m_items), d.positives_of(u0))
+    i_neg = int(neg_candidates[0])
+    fb = d.feedback_of(np.array([u0, u0]), np.array([i_pos, i_neg]))
+    assert fb.dtype == np.uint8
+    assert fb.tolist() == [1, 0]
