@@ -187,6 +187,9 @@ def main() -> None:
         lambda n, m, avg_degree, seed: big_synthetic(n, m, avg_degree, seed)
     )
     data = gen(args.n_users, args.m_items, avg_degree=args.avg_degree, seed=0)
+    from gsrs_tpu.data.dataset import pad_nodes_to_multiple
+
+    data = pad_nodes_to_multiple(data, args.model_axis)
     graph = build_graph(data)
     ell = ell_from_interactions(data)
 
@@ -222,17 +225,17 @@ def main() -> None:
     # sharded full-catalog top-k eval stress
     all_u, all_i, _ = model.final_embeddings(params)
     scores_fn = make_eval_scores_fn(model, mesh)
-    eval_user_ids = np.arange(args.eval_batch, dtype=np.int64) % args.n_users
+    eval_user_ids = np.arange(args.eval_batch, dtype=np.int64) % data.n_users
     # bitset rows for just the eval users (remap to 0..B-1 so the packed
     # table is (B, words), not (n_users, words) — 50M rows won't fit)
     from gsrs_tpu.ops.bitset import build_bitset
 
     sel = np.isin(data.train_users, eval_user_ids)
-    remap = np.full(args.n_users, -1, dtype=np.int64)
+    remap = np.full(data.n_users, -1, dtype=np.int64)
     remap[eval_user_ids] = np.arange(args.eval_batch)
     rows = build_bitset(
         remap[data.train_users[sel]], data.train_items[sel],
-        args.eval_batch, args.m_items,
+        args.eval_batch, data.m_items,
     )
     eval_users = jax.device_put(eval_user_ids.astype(np.int32), bs)
     train_rows = jax.device_put(rows, bs)
