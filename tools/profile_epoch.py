@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--recdim", type=int, default=64)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--trace_dir", default=None, help="jax.profiler output dir")
+    ap.add_argument(
+        "--eval", action="store_true",
+        help="also profile full-catalog evals (propagation + scan dispatch)",
+    )
     args = ap.parse_args()
 
     from gsrs_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
@@ -52,15 +56,21 @@ def main() -> None:
         train=TrainConfig(batch_size=args.bpr_batch, tensorboard=False),
     )
     model = build_model(cfg.model, graph, ell=ell)
-    trainer = Trainer(cfg, data, graph, model, run_eval=False)
+    trainer = Trainer(cfg, data, graph, model, run_eval=args.eval)
     with Timer.named("init"):
         state = trainer.init_state()
     with Timer.named("warmup_epoch_incl_compile"):
         state, _ = trainer.train_epoch(state)
+    if trainer.evaluator is not None:
+        with Timer.named("warmup_eval_incl_compile"):
+            trainer.evaluator.run(state.params)
     with profile_trace(args.trace_dir):
         for _ in range(args.epochs):
             with Timer.named("epoch"):
                 state, loss = trainer.train_epoch(state)
+            if trainer.evaluator is not None:
+                with Timer.named("eval"):
+                    trainer.evaluator.run(state.params)
     print(Timer.summary())
     if args.trace_dir:
         print(f"trace written to {args.trace_dir}")
