@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keepprob", type=float, default=0.6)
     p.add_argument("--a_fold", type=int, default=100)
     p.add_argument("--A_split", action="store_true")
+    p.add_argument(
+        "--reg_mode", choices=["propagated", "ego"], default="propagated",
+        help="L2 target: 'propagated' = the reference fork's committed "
+        "math; 'ego' = upstream LightGCN (raw table rows, the published "
+        "0.1825 gowalla convention)",
+    )
     p.add_argument("--testbatch", type=int, default=2048)
     p.add_argument("--epochs", type=int, default=1000)
     # dataset / paths (reference code/parse.py:46-58)
@@ -134,6 +140,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             keep_prob=args.keepprob,
             a_split=args.A_split,
             a_fold=args.a_fold,
+            reg_mode=args.reg_mode,
             use_pop_gate=args.use_pop_gate,
             pop_hidden=args.pop_hidden,
             gate_hidden=args.gate_hidden,

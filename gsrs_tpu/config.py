@@ -63,6 +63,17 @@ class ModelConfig:
     a_split: bool = False
     a_fold: int = 100
 
+    # What the BPR L2 term regularizes. 'propagated' = the reference
+    # fork's committed math (post-propagation batch embeddings,
+    # reference code/model.py:125-134,173 — getEmbedding returns the
+    # computer() outputs and reg uses them). 'ego' = upstream
+    # LightGCN-pytorch's math (raw embedding-table rows), which is the
+    # code that produced the published 0.1825 Gowalla recall@20 the
+    # fork's README quotes; propagated-reg under-regularizes the raw
+    # tables (layer-mean + D^-1/2 shrink norms) and measurably overfits
+    # late on Gowalla (BENCH_NOTES).
+    reg_mode: str = "propagated"  # 'propagated' | 'ego'
+
     # Popularity-gate fusion (reference code/model.py:65-96,139-157).
     use_pop_gate: bool = False
     pop_hidden: int = 32

@@ -246,7 +246,9 @@ class LightGCN:
         all_users, items, gate = self.final_embeddings(
             params, dropout_key, graph, ell
         )
-        return self._pairwise_bpr(all_users, items, gate, users, pos, neg)
+        return self._pairwise_bpr(
+            all_users, items, gate, users, pos, neg, params=params
+        )
 
     def _pairwise_bpr(
         self,
@@ -256,9 +258,17 @@ class LightGCN:
         users: jax.Array,
         pos: jax.Array,
         neg: jax.Array,
+        params: Optional[Params] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """BPR + reg (+ gate-entropy bonus) on already-propagated/fused
-        embeddings — shared by every graph model's loss."""
+        embeddings — shared by every graph model's loss.
+
+        reg_mode 'propagated' (default) matches the reference fork's
+        committed math (L2 on the computer() outputs, reference
+        code/model.py:125-134,173); 'ego' matches upstream
+        LightGCN-pytorch (L2 on the raw table rows — the code whose
+        published 0.1825 Gowalla recall@20 the fork's README quotes).
+        Requires ``params`` when 'ego'."""
         u = all_users[users]
         pe = items[pos]
         ne = items[neg]
@@ -266,9 +276,19 @@ class LightGCN:
         neg_scores = jnp.sum(u * ne, axis=1)
         bpr = -jnp.mean(jax.nn.log_sigmoid(pos_scores - neg_scores))
         batch = users.shape[0]
-        reg = 0.5 * (
-            jnp.sum(u * u) + jnp.sum(pe * pe) + jnp.sum(ne * ne)
-        ) / batch
+        if self.cfg.reg_mode == "ego":
+            if params is None:
+                raise ValueError("reg_mode='ego' needs params at the loss")
+            u0 = params["user_emb"][users]
+            p0 = params["item_emb"][pos]
+            n0 = params["item_emb"][neg]
+            reg = 0.5 * (
+                jnp.sum(u0 * u0) + jnp.sum(p0 * p0) + jnp.sum(n0 * n0)
+            ) / batch
+        else:
+            reg = 0.5 * (
+                jnp.sum(u * u) + jnp.sum(pe * pe) + jnp.sum(ne * ne)
+            ) / batch
         loss = bpr
         aux = {"bpr": bpr, "reg": reg}
         if gate is not None:

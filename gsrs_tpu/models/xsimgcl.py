@@ -176,7 +176,9 @@ class XSimGCL(LightGCN):
             items, gate = self._fuse(params, all_i, graph)
         else:
             items, gate = all_i, None
-        loss, aux = self._pairwise_bpr(all_u, items, gate, users, pos, neg)
+        loss, aux = self._pairwise_bpr(
+            all_u, items, gate, users, pos, neg, params=params
+        )
         if dropout_key is not None and self.cfg.cl_lambda > 0.0:
             cl = info_nce_unique(
                 users, all_u, view_u, self.cfg.cl_temp

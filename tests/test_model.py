@@ -199,3 +199,46 @@ def test_ngcf_trains_via_registry(tiny_data):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8
+
+
+def test_reg_mode_ego_vs_propagated(tiny_data):
+    """reg_mode='ego' regularizes raw table rows (upstream LightGCN
+    convention); 'propagated' the post-propagation embeddings (the
+    reference fork's committed math, code/model.py:125-134,173)."""
+    import jax.numpy as jnp
+
+    from gsrs_tpu.models.registry import build_model
+    from gsrs_tpu.ops.ell import ell_from_interactions
+
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    ell = ell_from_interactions(tiny_data)
+    cfg = ModelConfig(num_layers=2, embedding_dim=8)
+    model = build_model(cfg, g, ell=ell)
+    params = model.init_params(jax.random.key(0))
+    users = jnp.array([0, 1, 2])
+    pos = jnp.array([1, 2, 3])
+    neg = jnp.array([4, 5, 6])
+
+    _, aux_prop = model.bpr_loss(params, users, pos, neg)
+    au, ai = model.propagate(params)
+    expect_prop = 0.5 * (
+        float(jnp.sum(au[users] ** 2))
+        + float(jnp.sum(ai[pos] ** 2))
+        + float(jnp.sum(ai[neg] ** 2))
+    ) / 3
+    np.testing.assert_allclose(float(aux_prop["reg"]), expect_prop, rtol=1e-5)
+
+    ego_model = build_model(
+        dataclasses.replace(cfg, reg_mode="ego"), g, ell=ell
+    )
+    _, aux_ego = ego_model.bpr_loss(params, users, pos, neg)
+    expect_ego = 0.5 * (
+        float(jnp.sum(params["user_emb"][users] ** 2))
+        + float(jnp.sum(params["item_emb"][pos] ** 2))
+        + float(jnp.sum(params["item_emb"][neg] ** 2))
+    ) / 3
+    np.testing.assert_allclose(float(aux_ego["reg"]), expect_ego, rtol=1e-5)
+    # the BPR part is identical between modes
+    np.testing.assert_allclose(
+        float(aux_ego["bpr"]), float(aux_prop["bpr"]), rtol=1e-6
+    )
