@@ -36,3 +36,71 @@ def build_model(
             f"{sorted(MODELS)} (cf. reference code/register.py:50-55)"
         )
     return MODELS[cfg.model](cfg, graph, i2i, ell)
+
+
+SEQ_MODELS = ("sasrec", "gru4rec", "bert4rec")
+
+
+def build_seq_model(
+    kind: str,
+    m_items: int,
+    max_len: int = 50,
+    dim: int = 64,
+    hidden: int = 64,
+    blocks: int = 2,
+    heads: int = 1,
+    dropout: float = 0.2,
+    bf16: bool = False,
+):
+    """Factory for the sequential family (SASRec / GRU4Rec / BERT4Rec) —
+    the one place that maps the flat CLI/serving hyperparameters onto each
+    model's config dataclass. All three share the inference surface
+    ``score_catalog(params, seqs) -> (B, m_items)`` over real 0-based ids."""
+    if kind == "sasrec":
+        from gsrs_tpu.models.sasrec import SASRec, SASRecConfig
+
+        return SASRec(
+            SASRecConfig(
+                m_items=m_items,
+                max_len=max_len,
+                embedding_dim=dim,
+                num_blocks=blocks,
+                num_heads=heads,
+                ffn_hidden=hidden,
+                dropout_rate=dropout,
+                bf16_compute=bf16,
+            )
+        )
+    if kind == "bert4rec":
+        from gsrs_tpu.models.bert4rec import BERT4Rec, BERT4RecConfig
+
+        return BERT4Rec(
+            BERT4RecConfig(
+                m_items=m_items,
+                max_len=max_len,
+                embedding_dim=dim,
+                num_blocks=blocks,
+                num_heads=heads,
+                ffn_hidden=hidden,
+                dropout_rate=dropout,
+                bf16_compute=bf16,
+            )
+        )
+    if kind == "gru4rec":
+        from gsrs_tpu.models.gru4rec import GRU4Rec, GRU4RecConfig
+
+        return GRU4Rec(
+            GRU4RecConfig(
+                m_items=m_items,
+                max_len=max_len,
+                embedding_dim=dim,
+                hidden_dim=hidden,
+                num_layers=blocks,
+                dropout_rate=dropout,
+                bf16_compute=bf16,
+            )
+        )
+    raise ValueError(
+        f"sequential model '{kind}' is not registered; available: "
+        f"{sorted(SEQ_MODELS)}"
+    )

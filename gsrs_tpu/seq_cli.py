@@ -74,50 +74,19 @@ def main(argv: Optional[list] = None) -> None:
         f"{seq_data.m_items} items, max_len {seq_data.max_len}"
     )
 
-    if args.model == "bert4rec":
-        from gsrs_tpu.models.bert4rec import BERT4Rec, BERT4RecConfig
+    from gsrs_tpu.models.registry import build_seq_model
 
-        model = BERT4Rec(
-            BERT4RecConfig(
-                m_items=seq_data.m_items,
-                max_len=args.max_len,
-                embedding_dim=args.dim,
-                num_blocks=args.blocks,
-                num_heads=args.heads,
-                ffn_hidden=args.hidden,
-                dropout_rate=args.dropout,
-                bf16_compute=args.bf16,
-            )
-        )
-    elif args.model == "sasrec":
-        from gsrs_tpu.models.sasrec import SASRec, SASRecConfig
-
-        model = SASRec(
-            SASRecConfig(
-                m_items=seq_data.m_items,
-                max_len=args.max_len,
-                embedding_dim=args.dim,
-                num_blocks=args.blocks,
-                num_heads=args.heads,
-                ffn_hidden=args.hidden,
-                dropout_rate=args.dropout,
-                bf16_compute=args.bf16,
-            )
-        )
-    else:
-        from gsrs_tpu.models.gru4rec import GRU4Rec, GRU4RecConfig
-
-        model = GRU4Rec(
-            GRU4RecConfig(
-                m_items=seq_data.m_items,
-                max_len=args.max_len,
-                embedding_dim=args.dim,
-                hidden_dim=args.hidden,
-                num_layers=args.blocks,
-                dropout_rate=args.dropout,
-                bf16_compute=args.bf16,
-            )
-        )
+    model = build_seq_model(
+        args.model,
+        m_items=seq_data.m_items,
+        max_len=args.max_len,
+        dim=args.dim,
+        hidden=args.hidden,
+        blocks=args.blocks,
+        heads=args.heads,
+        dropout=args.dropout,
+        bf16=args.bf16,
+    )
 
     trainer = SeqTrainer(
         model,
