@@ -136,7 +136,11 @@ class GRU4Rec:
         return h[:, -1, :] @ params["out_proj"]
 
     def score_catalog(self, params: Params, seqs: jax.Array) -> jax.Array:
+        # slice exactly m_items real rows: tolerant of a row-padded table
+        # (the mesh trainer pads item_emb to the model-axis multiple)
         q = self.user_representations(params, seqs)
         return jnp.dot(
-            q, params["item_emb"][1:].T, preferred_element_type=jnp.float32
+            q,
+            params["item_emb"][1 : self.cfg.m_items + 1].T,
+            preferred_element_type=jnp.float32,
         )

@@ -176,10 +176,14 @@ class SASRec:
 
     def score_catalog(self, params: Params, seqs: jax.Array) -> jax.Array:
         """(B, m_items) full-catalog scores over REAL item ids (0-based,
-        PAD row dropped) — plugs into the shared masked top-k eval."""
+        PAD row dropped) — plugs into the shared masked top-k eval.
+        Slices exactly m_items rows so a row-padded table (mesh trainer
+        pads item_emb to the model-axis multiple) scores identically."""
         q = self.user_representations(params, seqs)
         return jnp.dot(
-            q, params["item_emb"][1:].T, preferred_element_type=jnp.float32
+            q,
+            params["item_emb"][1 : self.cfg.m_items + 1].T,
+            preferred_element_type=jnp.float32,
         )
 
 

@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--data_axis", type=int, default=1)
+    p.add_argument("--model_axis", type=int, default=1)
     return p
 
 
@@ -88,6 +90,14 @@ def main(argv: Optional[list] = None) -> None:
         bf16=args.bf16,
     )
 
+    mesh = None
+    if args.data_axis * args.model_axis > 1:
+        from gsrs_tpu.parallel.mesh import distributed_init, make_mesh
+
+        distributed_init()
+        mesh = make_mesh(data_axis=args.data_axis, model_axis=args.model_axis)
+        print(f"[seq] mesh: data={args.data_axis} × model={args.model_axis}")
+
     trainer = SeqTrainer(
         model,
         seq_data,
@@ -96,6 +106,7 @@ def main(argv: Optional[list] = None) -> None:
         decay=args.decay,
         seed=args.seed,
         topks=topks_from_string(args.topks),
+        mesh=mesh,
     )
     trainer.fit(
         epochs=args.epochs,

@@ -42,7 +42,13 @@ class SeqTrainer:
         seed: int = 2020,
         topks: Tuple[int, ...] = (10, 20),
         eval_batch: int = 256,
+        mesh: Optional[Any] = None,
     ):
+        """``mesh``: an optional (data, model) `jax.sharding.Mesh`. When
+        set, epochs and eval run GSPMD-sharded — batches over 'data'
+        (grad psum), the item table row-sharded over 'model' — via
+        `gsrs_tpu.parallel.seq_sharding.SeqShardings`. Single-device is
+        the mesh=None degenerate case of the same step code."""
         self.model = model
         self.data = data
         self.batch_size = batch_size
@@ -51,6 +57,18 @@ class SeqTrainer:
         self.topks = topks
         self.eval_batch = eval_batch
         self.optimizer = optax.adam(lr)
+        self.mesh = mesh
+        self._sh = None
+        if mesh is not None:
+            from gsrs_tpu.parallel.seq_sharding import SeqShardings
+
+            d = mesh.shape.get("data", 1)
+            if batch_size % d or eval_batch % d:
+                raise ValueError(
+                    f"batch_size {batch_size} and eval_batch {eval_batch} "
+                    f"must divide by the data axis ({d})"
+                )
+            self._sh = SeqShardings(mesh)
 
         n = len(data.train_seqs)
         self.n_train = n
@@ -80,17 +98,29 @@ class SeqTrainer:
         )
         self.target_bitset = jnp.asarray(tgt_bitset)
         self._epoch_fn = None
+        self._eval_fn = None
 
     def init_state(self) -> SeqTrainState:
         params = self.model.init_params(jax.random.key(self.seed))
+        if self._sh is not None:
+            # pad the item table to the model-axis multiple so rows shard
+            # evenly; phantom rows are never gathered (ids ≤ m_items) and
+            # score_catalog slices exactly m_items real rows
+            m_ax = self.mesh.shape.get("model", 1)
+            rows = params["item_emb"].shape[0]
+            pad = (-rows) % m_ax
+            if pad:
+                params["item_emb"] = jnp.pad(
+                    params["item_emb"], ((0, pad), (0, 0))
+                )
+            params = self._sh.place_params(params)
         return SeqTrainState(params, self.optimizer.init(params))
 
     # ------------------------------------------------------------------ train
-    def _build_epoch_fn(self):
+    def _build_epoch_fn(self, state: "SeqTrainState"):
         model, opt, decay = self.model, self.optimizer, self.decay
         m_items = self.data.m_items
 
-        @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, seq_batches, keys):
             def body(carry, xs):
                 params, opt_state = carry
@@ -119,11 +149,21 @@ class SeqTrainer:
             )
             return params, opt_state, jnp.mean(losses)
 
-        return run_epoch
+        if self._sh is None:
+            return jax.jit(run_epoch, donate_argnums=(0, 1))
+        sh = self._sh
+        pspec = sh.params_spec(state.params)
+        ospec = sh.opt_state_spec(state.opt_state, state.params)
+        return jax.jit(
+            run_epoch,
+            in_shardings=(pspec, ospec, sh.scan_batch_spec(), sh.replicated()),
+            out_shardings=(pspec, ospec, sh.replicated()),
+            donate_argnums=(0, 1),
+        )
 
     def train_epoch(self, state: SeqTrainState) -> Tuple[SeqTrainState, float]:
         if self._epoch_fn is None:
-            self._epoch_fn = self._build_epoch_fn()
+            self._epoch_fn = self._build_epoch_fn(state)
         key = jax.random.fold_in(jax.random.key(self.seed), state.epoch)
         k_perm, k_steps = jax.random.split(key)
         perm = jax.random.permutation(k_perm, self.train_seqs.shape[0])
@@ -137,21 +177,35 @@ class SeqTrainer:
         return SeqTrainState(params, opt_state, state.epoch + 1), float(loss)
 
     # ------------------------------------------------------------------ eval
+    def _build_eval_fn(self):
+        """Built ONCE per trainer — a fresh jitted closure per evaluate()
+        call would recompile every eval (the same re-jit trap fixed in the
+        graph evaluator)."""
+        model, m_items, topks = self.model, self.data.m_items, self.topks
+        max_k = max(topks)
+
+        def eval_batch(params, seqs, users, weights, hist_bitset, target_bitset):
+            scores = model.score_catalog(params, seqs)
+            hist_rows = hist_bitset[users]
+            scores = mask_train_positives(scores, hist_rows, m_items)
+            _, top_items = topk_scores(scores, max_k)
+            labels = topk_labels(top_items, target_bitset, users)
+            gt = jnp.ones(seqs.shape[0], jnp.float32)
+            return batch_metrics(labels, gt, weights, topks)
+
+        return jax.jit(eval_batch)
+
     def evaluate(self, state: SeqTrainState) -> Dict[str, float]:
         data = self.data
         n_eval = len(data.eval_users)
         B = self.eval_batch
-        max_k = max(self.topks)
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        eval_batch = self._eval_fn
 
-        @jax.jit
-        def eval_batch(params, seqs, users, weights, hist_bitset, target_bitset):
-            scores = self.model.score_catalog(params, seqs)
-            hist_rows = hist_bitset[users]
-            scores = mask_train_positives(scores, hist_rows, data.m_items)
-            _, top_items = topk_scores(scores, max_k)
-            labels = topk_labels(top_items, target_bitset, users)
-            gt = jnp.ones(seqs.shape[0], jnp.float32)
-            return batch_metrics(labels, gt, weights, self.topks)
+        def place(x, spec_fn):
+            a = jnp.asarray(x)
+            return jax.device_put(a, spec_fn()) if self._sh else a
 
         totals: Dict[str, float] = {}
         pad = -(-n_eval // B) * B
@@ -164,9 +218,9 @@ class SeqTrainer:
         for s in range(0, pad, B):
             sums = eval_batch(
                 state.params,
-                jnp.asarray(seqs[s : s + B]),
-                jnp.asarray(users[s : s + B]),
-                jnp.asarray(weights[s : s + B]),
+                place(seqs[s : s + B], lambda: self._sh.batch_spec()),
+                place(users[s : s + B], lambda: self._sh.vector_spec()),
+                place(weights[s : s + B], lambda: self._sh.vector_spec()),
                 self.hist_bitset,
                 self.target_bitset,
             )

@@ -246,3 +246,50 @@ def test_stress_pod_plan_and_generator():
     # Zipf skew: item 0 (rank 1) should be among the most popular
     counts = np.bincount(data.train_items, minlength=200)
     assert counts[0] >= np.median(counts)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4), (1, 8)])
+def test_seq_trainer_on_mesh_matches_single_device(mesh_shape):
+    """The mesh SeqTrainer (DP batches + row-sharded item table) must
+    reproduce the single-device trainer's losses and eval metrics."""
+    from gsrs_tpu.data.sequences import synthetic_markov_sequences
+    from gsrs_tpu.models.registry import build_seq_model
+    from gsrs_tpu.train.seq_trainer import SeqTrainer
+
+    data = synthetic_markov_sequences(
+        n_users=128, m_items=50, max_len=10, seed=7
+    )
+
+    def run(mesh):
+        model = build_seq_model(
+            "sasrec", m_items=50, max_len=10, dim=8, hidden=8,
+            blocks=1, heads=1, dropout=0.0,
+        )
+        tr = SeqTrainer(
+            model, data, batch_size=32, lr=1e-2, seed=0,
+            topks=(5, 10), eval_batch=32, mesh=mesh,
+        )
+        state = tr.init_state()
+        losses = []
+        for _ in range(3):
+            state, loss = tr.train_epoch(state)
+            losses.append(loss)
+        return losses, tr.evaluate(state)
+
+    base_losses, base_metrics = run(None)
+    d, m = mesh_shape
+    mesh_losses, mesh_metrics = run(make_mesh(data_axis=d, model_axis=m))
+    np.testing.assert_allclose(mesh_losses, base_losses, rtol=2e-4)
+    for k, v in base_metrics.items():
+        np.testing.assert_allclose(mesh_metrics[k], v, rtol=2e-4, err_msg=k)
+
+
+def test_seq_trainer_rejects_indivisible_batch():
+    from gsrs_tpu.data.sequences import synthetic_markov_sequences
+    from gsrs_tpu.models.registry import build_seq_model
+    from gsrs_tpu.train.seq_trainer import SeqTrainer
+
+    data = synthetic_markov_sequences(n_users=32, m_items=20, max_len=8, seed=0)
+    model = build_seq_model("gru4rec", m_items=20, max_len=8, dim=8, hidden=8, blocks=1)
+    with pytest.raises(ValueError, match="data axis"):
+        SeqTrainer(model, data, batch_size=30, mesh=make_mesh(data_axis=8, model_axis=1))
