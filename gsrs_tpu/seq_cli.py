@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data_axis", type=int, default=1)
     p.add_argument("--model_axis", type=int, default=1)
+    p.add_argument("--tensorboard", type=int, default=0)
+    p.add_argument("--comment", type=str, default="")
     return p
 
 
@@ -113,6 +115,8 @@ def main(argv: Optional[list] = None) -> None:
         checkpoint_dir=args.checkpoint_dir,
         eval_every=args.eval_every,
         resume=args.resume,
+        tensorboard=bool(args.tensorboard),
+        comment=args.comment,
     )
 
 

@@ -237,16 +237,24 @@ class SeqTrainer:
         eval_every: int = 10,
         resume: bool = False,
         verbose: bool = True,
+        tensorboard: bool = False,
+        comment: str = "",
     ) -> SeqTrainState:
-        """Full training loop with the graph Trainer's amenities: CSV
-        logging (same schemas as reference code/main.py:98-133), per-epoch
-        last checkpoint, best-NDCG checkpoint, resume, and a final eval of
-        the last state. All optional: with no checkpoint_dir this is just
-        the epoch loop."""
+        """Full training loop with the graph Trainer's amenities: CSV +
+        optional TensorBoard logging (same schemas/tag shapes as reference
+        code/main.py:98-133,170), per-epoch last checkpoint, best-NDCG
+        checkpoint, resume, and a final eval of the last state. All
+        optional: with no checkpoint_dir this is just the epoch loop."""
         import time as _time
+
+        from gsrs_tpu.train.logging import TensorboardWriter
 
         state = state or self.init_state()
         ckpt = train_csv = valid_csv = None
+        tb = TensorboardWriter(
+            checkpoint_dir if (tensorboard and checkpoint_dir) else None,
+            comment or f"seq-{self.data.name}",
+        )
         if checkpoint_dir:
             from gsrs_tpu.train.checkpoint import CheckpointManager
             from gsrs_tpu.train.logging import make_train_csv, make_valid_csv
@@ -269,35 +277,40 @@ class SeqTrainer:
         best_ndcg = 0.0
         main_k = max(self.topks)
         last_eval = -1
-        while state.epoch < epochs:
-            if state.epoch % eval_every == 0:
-                last_eval = state.epoch
+        try:
+            while state.epoch < epochs:
+                if state.epoch % eval_every == 0:
+                    last_eval = state.epoch
+                    metrics = self.evaluate(state)
+                    self._log_eval(state, metrics, valid_csv, verbose, tb)
+                    if ckpt and metrics.get(f"ndcg@{main_k}", 0.0) > best_ndcg:
+                        best_ndcg = metrics[f"ndcg@{main_k}"]
+                        ckpt.save_best(self._ckpt_state(state), state.epoch)
+                t0 = _time.time()
+                state, loss = self.train_epoch(state)
+                dt = _time.time() - t0
+                tb.scalar("Train/loss", loss, state.epoch)
+                if train_csv:
+                    train_csv.append(
+                        {
+                            "epoch": state.epoch,
+                            "time_sec": f"{dt:.3f}",
+                            "train_loss": f"{loss:.6f}",
+                            "lr": "",
+                        }
+                    )
+                if verbose:
+                    print(f"[epoch {state.epoch}/{epochs}] loss={loss:.5f} ({dt:.2f}s)")
+                if ckpt:
+                    ckpt.save_last(self._ckpt_state(state))
+            if last_eval != state.epoch:
                 metrics = self.evaluate(state)
-                self._log_eval(state, metrics, valid_csv, verbose)
+                self._log_eval(state, metrics, valid_csv, verbose, tb)
                 if ckpt and metrics.get(f"ndcg@{main_k}", 0.0) > best_ndcg:
-                    best_ndcg = metrics[f"ndcg@{main_k}"]
                     ckpt.save_best(self._ckpt_state(state), state.epoch)
-            t0 = _time.time()
-            state, loss = self.train_epoch(state)
-            dt = _time.time() - t0
-            if train_csv:
-                train_csv.append(
-                    {
-                        "epoch": state.epoch,
-                        "time_sec": f"{dt:.3f}",
-                        "train_loss": f"{loss:.6f}",
-                        "lr": "",
-                    }
-                )
-            if verbose:
-                print(f"[epoch {state.epoch}/{epochs}] loss={loss:.5f} ({dt:.2f}s)")
-            if ckpt:
-                ckpt.save_last(self._ckpt_state(state))
-        if last_eval != state.epoch:
-            metrics = self.evaluate(state)
-            self._log_eval(state, metrics, valid_csv, verbose)
-            if ckpt and metrics.get(f"ndcg@{main_k}", 0.0) > best_ndcg:
-                ckpt.save_best(self._ckpt_state(state), state.epoch)
+        finally:
+            # reference discipline: flush TB even on a crash (code/main.py:244-247)
+            tb.close()
         return state
 
     def _ckpt_state(self, state: SeqTrainState):
@@ -307,7 +320,9 @@ class SeqTrainer:
             "epoch": np.asarray(state.epoch, np.int64),
         }
 
-    def _log_eval(self, state, metrics, valid_csv, verbose):
+    def _log_eval(self, state, metrics, valid_csv, verbose, tb=None):
+        if tb is not None:
+            tb.eval_metrics(metrics, self.topks, state.epoch)
         if valid_csv:
             row = {"epoch": state.epoch, "time_sec": "", "lr": ""}
             row.update({k: f"{v:.6f}" for k, v in metrics.items()})

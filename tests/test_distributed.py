@@ -248,8 +248,17 @@ def test_stress_pod_plan_and_generator():
     assert counts[0] >= np.median(counts)
 
 
-@pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4), (1, 8)])
-def test_seq_trainer_on_mesh_matches_single_device(mesh_shape):
+@pytest.mark.parametrize(
+    "mesh_shape,kind",
+    [
+        ((8, 1), "sasrec"),
+        ((2, 4), "sasrec"),
+        ((1, 8), "sasrec"),
+        ((2, 4), "gru4rec"),
+        ((2, 4), "bert4rec"),
+    ],
+)
+def test_seq_trainer_on_mesh_matches_single_device(mesh_shape, kind):
     """The mesh SeqTrainer (DP batches + row-sharded item table) must
     reproduce the single-device trainer's losses and eval metrics."""
     from gsrs_tpu.data.sequences import synthetic_markov_sequences
@@ -262,7 +271,7 @@ def test_seq_trainer_on_mesh_matches_single_device(mesh_shape):
 
     def run(mesh):
         model = build_seq_model(
-            "sasrec", m_items=50, max_len=10, dim=8, hidden=8,
+            kind, m_items=50, max_len=10, dim=8, hidden=8,
             blocks=1, heads=1, dropout=0.0,
         )
         tr = SeqTrainer(
