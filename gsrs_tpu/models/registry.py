@@ -104,3 +104,22 @@ def build_seq_model(
         f"sequential model '{kind}' is not registered; available: "
         f"{sorted(SEQ_MODELS)}"
     )
+
+
+def seq_model_meta(model) -> dict:
+    """Flat hyperparameter dict for a sequential model instance — the
+    inverse of `build_seq_model`, used to persist the exact training
+    config next to checkpoints (some fields, e.g. num_heads, do not
+    affect parameter shapes, so a wrong value at export time would
+    corrupt serving silently rather than fail loudly)."""
+    c = model.cfg
+    kind = type(model).__name__.lower()
+    return {
+        "kind": kind,
+        "m_items": int(c.m_items),
+        "max_len": int(c.max_len),
+        "dim": int(c.embedding_dim),
+        "hidden": int(getattr(c, "ffn_hidden", 0) or getattr(c, "hidden_dim", 0)),
+        "blocks": int(getattr(c, "num_blocks", 0) or getattr(c, "num_layers", 0)),
+        "heads": int(getattr(c, "num_heads", 1)),
+    }

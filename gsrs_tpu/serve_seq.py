@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsrs_tpu.models.registry import SEQ_MODELS, build_seq_model
+from gsrs_tpu.ops.bitset import build_bitset
 from gsrs_tpu.ops.topk import mask_train_positives, topk_scores
 
 
@@ -67,10 +68,9 @@ class SeqRetriever:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (seqs (N, max_len) shifted/left-padded, seen bitset (N, W))."""
         L, m = self.max_len, self.m_items
-        W = (m + 31) // 32
         n = len(sessions)
         seqs = np.zeros((n, L), np.int32)
-        seen = np.zeros((n, W), np.uint32)
+        id_arrays = []
         for r, sess in enumerate(sessions):
             ids = np.asarray(list(sess), dtype=np.int64)
             if ids.size == 0:
@@ -83,9 +83,16 @@ class SeqRetriever:
                 )
             tail = ids[-L:]
             seqs[r, L - tail.size :] = tail.astype(np.int32) + 1  # shift, PAD=0
-            np.bitwise_or.at(
-                seen[r], ids // 32, np.uint32(1) << (ids % 32).astype(np.uint32)
-            )
+            id_arrays.append(ids)
+        rows = np.repeat(
+            np.arange(n, dtype=np.int64), [a.size for a in id_arrays]
+        )
+        seen = build_bitset(
+            rows,
+            np.concatenate(id_arrays) if id_arrays else np.zeros(0, np.int64),
+            n,
+            m,
+        )
         return seqs, seen
 
     def recommend(
@@ -194,21 +201,39 @@ def main(argv: Optional[list] = None) -> None:
 
     args = ap.parse_args(argv)
     if args.cmd == "export":
-        m_items = args.m_items
-        if m_items is None:
-            if args.dataset_dir is None:
-                raise SystemExit("pass --m_items or --dataset_dir")
-            from gsrs_tpu.data.dataset import load_dataset
+        # prefer the hyperparameters the trainer persisted next to the
+        # checkpoint — CLI flags are a fallback for artifacts without one
+        # (some fields, e.g. --heads, don't affect parameter shapes, so a
+        # wrong flag would corrupt serving silently)
+        import os as _os
 
-            m_items = load_dataset(args.dataset_dir).m_items
+        meta_path = _os.path.join(args.checkpoint_dir, "model_meta.json")
+        if _os.path.exists(meta_path):
+            with open(meta_path) as f:
+                tm = json.load(f)
+            kind, m_items = tm["kind"], tm["m_items"]
+            max_len, dim = tm["max_len"], tm["dim"]
+            hidden, blocks, heads = tm["hidden"], tm["blocks"], tm["heads"]
+            print(f"[serve_seq] using {meta_path}: {tm}")
+        else:
+            kind = args.model
+            m_items = args.m_items
+            if m_items is None:
+                if args.dataset_dir is None:
+                    raise SystemExit("pass --m_items or --dataset_dir")
+                from gsrs_tpu.data.dataset import load_dataset
+
+                m_items = load_dataset(args.dataset_dir).m_items
+            max_len, dim = args.max_len, args.dim
+            hidden, blocks, heads = args.hidden, args.blocks, args.heads
         model = build_seq_model(
-            args.model,
+            kind,
             m_items=m_items,
-            max_len=args.max_len,
-            dim=args.dim,
-            hidden=args.hidden,
-            blocks=args.blocks,
-            heads=args.heads,
+            max_len=max_len,
+            dim=dim,
+            hidden=hidden,
+            blocks=blocks,
+            heads=heads,
         )
         from gsrs_tpu.train.checkpoint import CheckpointManager
 
@@ -231,18 +256,19 @@ def main(argv: Optional[list] = None) -> None:
         )
         export_seq_model(
             restored["params"],
-            args.model,
+            kind,
             m_items,
             args.out,
-            max_len=args.max_len,
-            dim=args.dim,
-            hidden=args.hidden,
-            blocks=args.blocks,
-            heads=args.heads,
+            max_len=max_len,
+            dim=dim,
+            hidden=hidden,
+            blocks=blocks,
+            heads=heads,
         )
-        print(f"[serve_seq] exported {args.out}: {args.model}, {m_items} items")
+        print(f"[serve_seq] exported {args.out}: {kind}, {m_items} items")
     else:
-        r = load_seq_retriever(args.artifact)
+        # one-shot query: batch of exactly 1 — no padding waste
+        r = load_seq_retriever(args.artifact, batch_size=1)
         items, scores = r.recommend([args.session], k=args.k)
         pairs = " ".join(f"{i}:{s:.3f}" for i, s in zip(items[0], scores[0]))
         print(f"session {args.session}: {pairs}")

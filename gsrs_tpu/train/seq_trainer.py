@@ -99,22 +99,58 @@ class SeqTrainer:
         self.target_bitset = jnp.asarray(tgt_bitset)
         self._epoch_fn = None
         self._eval_fn = None
+        # set by init_state; equal values make (un)padding a no-op
+        self._canonical_rows = self._padded_rows = 0
+        self._table_dim = 0
 
     def init_state(self) -> SeqTrainState:
         params = self.model.init_params(jax.random.key(self.seed))
+        self._canonical_rows = params["item_emb"].shape[0]
+        self._table_dim = params["item_emb"].shape[1]
+        self._padded_rows = self._canonical_rows
         if self._sh is not None:
             # pad the item table to the model-axis multiple so rows shard
             # evenly; phantom rows are never gathered (ids ≤ m_items) and
             # score_catalog slices exactly m_items real rows
             m_ax = self.mesh.shape.get("model", 1)
-            rows = params["item_emb"].shape[0]
-            pad = (-rows) % m_ax
-            if pad:
+            self._padded_rows = self._canonical_rows + (
+                (-self._canonical_rows) % m_ax
+            )
+            if self._padded_rows != self._canonical_rows:
                 params["item_emb"] = jnp.pad(
-                    params["item_emb"], ((0, pad), (0, 0))
+                    params["item_emb"],
+                    ((0, self._padded_rows - self._canonical_rows), (0, 0)),
                 )
             params = self._sh.place_params(params)
         return SeqTrainState(params, self.optimizer.init(params))
+
+    # -------------------------------------------------- checkpoint (un)padding
+    # Checkpoints always store the CANONICAL (unpadded) table so they stay
+    # interchangeable across mesh configs and readable by serve_seq export;
+    # the mesh padding is a runtime layout detail, re-applied on restore.
+    def _is_table_leaf(self, leaf) -> bool:
+        return getattr(leaf, "shape", None) == (self._padded_rows, self._table_dim)
+
+    def _unpad_tree(self, tree):
+        if self._padded_rows == self._canonical_rows:
+            return tree
+        cut = self._canonical_rows
+        return jax.tree_util.tree_map(
+            lambda v: v[:cut] if self._is_table_leaf(v) else v, tree
+        )
+
+    def _repad_tree(self, tree):
+        if self._padded_rows == self._canonical_rows:
+            return tree
+        pad = self._padded_rows - self._canonical_rows
+        canon = (self._canonical_rows, self._table_dim)
+
+        def fix(v):
+            if getattr(v, "shape", None) == canon:
+                return jnp.pad(jnp.asarray(v), ((0, pad), (0, 0)))
+            return v
+
+        return jax.tree_util.tree_map(fix, tree)
 
     # ------------------------------------------------------------------ train
     def _build_epoch_fn(self, state: "SeqTrainState"):
@@ -262,15 +298,22 @@ class SeqTrainer:
             ckpt = CheckpointManager(checkpoint_dir)
             train_csv = make_train_csv(checkpoint_dir)
             valid_csv = make_valid_csv(checkpoint_dir, self.topks)
+            # persist the exact model hyperparameters so export/serving
+            # never has to re-guess them from CLI flags
+            import json as _json
+            import os as _os
+
+            from gsrs_tpu.models.registry import seq_model_meta
+
+            with open(
+                _os.path.join(checkpoint_dir, "model_meta.json"), "w"
+            ) as f:
+                _json.dump(seq_model_meta(self.model), f)
             if resume:
                 path = ckpt.resolve_resume_path(None)
                 if path is not None:
                     restored = ckpt.restore(path, self._ckpt_state(state))
-                    state = SeqTrainState(
-                        restored["params"],
-                        restored["opt_state"],
-                        int(restored["epoch"]),
-                    )
+                    state = self._from_ckpt_state(restored)
                     if verbose:
                         print(f"[resume] restored from {path} (epoch {state.epoch})")
 
@@ -315,10 +358,21 @@ class SeqTrainer:
 
     def _ckpt_state(self, state: SeqTrainState):
         return {
-            "params": state.params,
-            "opt_state": state.opt_state,
+            "params": self._unpad_tree(state.params),
+            "opt_state": self._unpad_tree(state.opt_state),
             "epoch": np.asarray(state.epoch, np.int64),
         }
+
+    def _from_ckpt_state(self, restored) -> SeqTrainState:
+        params = self._repad_tree(restored["params"])
+        opt_state = self._repad_tree(restored["opt_state"])
+        if self._sh is not None:
+            params = self._sh.place_params(params)
+            ospec = self._sh.opt_state_spec(opt_state, params)
+            opt_state = jax.tree_util.tree_map(
+                jax.device_put, opt_state, ospec
+            )
+        return SeqTrainState(params, opt_state, int(restored["epoch"]))
 
     def _log_eval(self, state, metrics, valid_csv, verbose, tb=None):
         if tb is not None:

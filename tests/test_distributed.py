@@ -302,3 +302,49 @@ def test_seq_trainer_rejects_indivisible_batch():
     model = build_seq_model("gru4rec", m_items=20, max_len=8, dim=8, hidden=8, blocks=1)
     with pytest.raises(ValueError, match="data axis"):
         SeqTrainer(model, data, batch_size=30, mesh=make_mesh(data_axis=8, model_axis=1))
+
+
+def test_seq_mesh_checkpoint_interop(tmp_path):
+    """Mesh-trained checkpoints store the CANONICAL (unpadded) item table:
+    serve_seq export must read them, and a single-device trainer must
+    resume from them (and vice versa the mesh trainer re-pads on restore)."""
+    import os
+
+    from gsrs_tpu.data.sequences import synthetic_markov_sequences
+    from gsrs_tpu.models.registry import build_seq_model
+    from gsrs_tpu.train.seq_trainer import SeqTrainer
+
+    data = synthetic_markov_sequences(n_users=64, m_items=50, max_len=10, seed=2)
+
+    def make(mesh):
+        model = build_seq_model(
+            "sasrec", m_items=50, max_len=10, dim=8, hidden=8,
+            blocks=1, heads=1, dropout=0.0,
+        )
+        return SeqTrainer(model, data, batch_size=32, seed=0, mesh=mesh)
+
+    ckdir = os.path.join(tmp_path, "ck")
+    mesh_tr = make(make_mesh(data_axis=2, model_axis=4))  # 51 rows → padded 52
+    mesh_tr.fit(epochs=1, checkpoint_dir=ckdir, eval_every=5, verbose=False)
+
+    # 1) export from the mesh checkpoint (uses persisted model_meta.json)
+    from gsrs_tpu.serve_seq import load_seq_retriever, main
+
+    art = os.path.join(tmp_path, "seq.npz")
+    main(["export", "--checkpoint_dir", ckdir, "--out", art])
+    r = load_seq_retriever(art)
+    assert r.params["item_emb"].shape == (51, 8)  # canonical, not padded
+    items, _ = r.recommend([[1, 2, 3]], k=5)
+    assert items.shape == (1, 5)
+
+    # 2) single-device trainer resumes the mesh checkpoint
+    single = make(None)
+    st = single.fit(epochs=2, checkpoint_dir=ckdir, eval_every=5,
+                    resume=True, verbose=False)
+    assert st.epoch == 2
+
+    # 3) a different-mesh trainer resumes the (now single-device) checkpoint
+    other = make(make_mesh(data_axis=8, model_axis=1))
+    st2 = other.fit(epochs=3, checkpoint_dir=ckdir, eval_every=5,
+                    resume=True, verbose=False)
+    assert st2.epoch == 3
