@@ -161,26 +161,41 @@ def main(argv: Optional[list] = None) -> None:
 
         data = load_dataset(args.dataset_dir)
         graph = build_graph(data, cache_dir=args.dataset_dir)
-        cfg = ModelConfig(
-            model=args.model,
-            num_layers=args.layer,
-            embedding_dim=args.recdim,
-            bf16_compute=args.bf16,
-            use_pop_gate=args.use_pop_gate,
-            pop_hidden=args.pop_hidden,
-            gate_hidden=args.gate_hidden,
-            pop_gate_temp=args.pop_gate_temp,
-            use_item_item=args.use_item_item,
-            i2i_path=args.i2i_path,
-            i2i_alpha=args.i2i_alpha,
-        )
+        # prefer the model config the trainer persisted next to the
+        # checkpoints — CLI flags are the fallback for older artifacts
+        # (shape-neutral fields like pop_gate_temp/i2i_alpha would corrupt
+        # serving silently if re-guessed wrong)
+        import json as _json
+        import os as _os
+
+        meta_path = _os.path.join(args.checkpoint_dir, "model_meta.json")
+        if _os.path.exists(meta_path):
+            with open(meta_path) as f:
+                cfg = ModelConfig(**_json.load(f))
+            print(f"[serve] using {meta_path}")
+        else:
+            cfg = ModelConfig(
+                model=args.model,
+                num_layers=args.layer,
+                embedding_dim=args.recdim,
+                bf16_compute=args.bf16,
+                use_pop_gate=args.use_pop_gate,
+                pop_hidden=args.pop_hidden,
+                gate_hidden=args.gate_hidden,
+                pop_gate_temp=args.pop_gate_temp,
+                use_item_item=args.use_item_item,
+                i2i_path=args.i2i_path,
+                i2i_alpha=args.i2i_alpha,
+            )
         i2i = None
-        if args.use_item_item and args.i2i_path:
+        if cfg.use_item_item and (cfg.i2i_path or args.i2i_path):
             import scipy.sparse as sp
 
             from gsrs_tpu.models.lightgcn import ItemItemGraph
 
-            i2i = ItemItemGraph.from_scipy(sp.load_npz(args.i2i_path))
+            i2i = ItemItemGraph.from_scipy(
+                sp.load_npz(cfg.i2i_path or args.i2i_path)
+            )
         model = build_model(
             cfg, graph, i2i=i2i, ell=ell_from_interactions(data)
         )
@@ -193,7 +208,9 @@ def main(argv: Optional[list] = None) -> None:
         ckpt = CheckpointManager(args.checkpoint_dir)
         path = ckpt.resolve_resume_path(
             None,
-            legacy_name(args.model, data.name, args.layer, args.recdim),
+            legacy_name(
+                cfg.model, data.name, cfg.num_layers, cfg.embedding_dim
+            ),
         )
         if path is None:
             raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")

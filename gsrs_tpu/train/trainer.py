@@ -303,6 +303,17 @@ class Trainer:
 
         train_csv = make_train_csv(t_cfg.checkpoint_dir)
         valid_csv = make_valid_csv(t_cfg.checkpoint_dir, self.cfg.eval.topks)
+        # persist the exact model config next to the checkpoints so
+        # serve/export never re-guesses it from CLI flags (fields like
+        # pop_gate_temp or i2i_alpha don't change parameter shapes, so a
+        # wrong flag at export time would corrupt serving silently)
+        import json as _json
+        import os as _os
+
+        with open(
+            _os.path.join(t_cfg.checkpoint_dir, "model_meta.json"), "w"
+        ) as f:
+            _json.dump(dataclasses.asdict(self.cfg.model), f)
         tb = TensorboardWriter(log_dir if t_cfg.tensorboard else None, t_cfg.comment)
         main_k = max(self.cfg.eval.topks)
         last_eval_epoch = -1
