@@ -114,10 +114,11 @@ def big_synthetic(n_users: int, m_items: int, avg_degree: int, seed: int = 0):
     for lo in range(0, total, 50_000_000):
         hi = min(lo + 50_000_000, total)
         u = rng.random(hi - lo)
-        # approximate inverse CDF of rank^-s popularity
+        # approximate inverse CDF of rank^-s popularity; clamp on the
+        # float side (u→0 gives inf, which casts to int64 invalidly)
         ranks = np.minimum(
-            (u ** (-1.0 / (s - 1.0)) - 1.0).astype(np.int64), m_items - 1
-        )
+            u ** (-1.0 / (s - 1.0)) - 1.0, float(m_items - 1)
+        ).astype(np.int64)
         items[lo:hi] = ranks.astype(np.int32)
     return InteractionData(
         name=f"stress-{n_users}x{m_items}",
