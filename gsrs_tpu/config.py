@@ -105,8 +105,9 @@ class ModelConfig:
     bf16_compute: bool = False
 
     # SpMM implementation for propagation: 'ell' (scatter-free bucketed
-    # gather, the fast TPU path — gsrs_tpu.ops.ell), 'segment'
-    # (segment-sum reference path — gsrs_tpu.ops.spmm), or 'pallas'.
+    # gather, the fast TPU path — gsrs_tpu.ops.ell) or 'segment'
+    # (segment-sum reference path — gsrs_tpu.ops.spmm). Validated by
+    # LightGCN.__init__.
     spmm_mode: str = "ell"
 
 

@@ -31,7 +31,7 @@ import numpy as np
 from gsrs_tpu.config import ModelConfig
 from gsrs_tpu.data.adjacency import BipartiteGraph
 from gsrs_tpu.ops.ell import EllGraph, ell_from_interactions, ell_propagate_layer
-from gsrs_tpu.ops.spmm import propagate_layer, spmm_edges
+from gsrs_tpu.ops.spmm import edge_keep_mask, propagate_layer, spmm_edges
 
 Params = Dict[str, jax.Array]
 
@@ -60,8 +60,14 @@ class ItemItemGraph:
             out = np.full(pad, fill, dtype=x.dtype)
             out[: x.size] = x
             return out
+        # pad dst with the LAST node id (not 0) so the sorted order the
+        # segment-sum relies on (indices_are_sorted=True in spmm_edges)
+        # survives padding — same convention as data/adjacency.py; the
+        # zero weight keeps the padding a no-op
+        last = np.int32(mat.shape[0] - 1)
         return ItemItemGraph(
-            dst=p(dst, 0), src=p(src, 0), w=p(w, 0.0), m_items=int(mat.shape[0])
+            dst=p(dst, last), src=p(src, last), w=p(w, 0.0),
+            m_items=int(mat.shape[0]),
         )
 
 
@@ -86,6 +92,12 @@ class LightGCN:
         i2i: Optional[ItemItemGraph] = None,
         ell: Optional[EllGraph] = None,
     ):
+        if cfg.spmm_mode not in ("ell", "segment"):
+            raise ValueError(
+                f"spmm_mode must be 'ell' or 'segment', got "
+                f"'{cfg.spmm_mode}' (an unknown mode would silently run "
+                f"the slow segment path)"
+            )
         self.cfg = cfg
         self.graph = graph
         # the scatter-free ELL layout is the default propagation path; the
@@ -159,13 +171,16 @@ class LightGCN:
         if self.cfg.bf16_compute:
             u, i = u.astype(jnp.bfloat16), i.astype(jnp.bfloat16)
 
-        # Edge dropout (inverted, per-edge in canonical order so both SpMM
-        # directions drop the same edges and the graph stays symmetric).
-        keep = None
+        # Edge dropout (inverted, sampled once per step in canonical edge
+        # order via ops.spmm.edge_keep_mask so both SpMM directions drop
+        # the same edges); the permuted views are hoisted out of the loop.
+        keep = edge_masks = None
         if dropout_key is not None and self.cfg.dropout:
-            keep = jax.random.bernoulli(
-                dropout_key, p=self.cfg.keep_prob, shape=graph.edge_w_by_u.shape
-            ).astype(u.dtype) / self.cfg.keep_prob
+            keep = edge_keep_mask(
+                dropout_key, graph, self.cfg.keep_prob, dtype=u.dtype
+            )
+            if not use_ell:
+                edge_masks = (keep[graph.perm_by_u], keep[graph.perm_by_i])
 
         acc_u, acc_i = u, i
         cur_u, cur_i = u, i
@@ -173,11 +188,6 @@ class LightGCN:
             if use_ell:
                 cur_u, cur_i = ell_propagate_layer(ell, cur_u, cur_i, keep)
             else:
-                edge_masks = (
-                    None
-                    if keep is None
-                    else (keep[graph.perm_by_u], keep[graph.perm_by_i])
-                )
                 cur_u, cur_i = propagate_layer(graph, cur_u, cur_i, edge_masks)
             acc_u = acc_u + cur_u
             acc_i = acc_i + cur_i

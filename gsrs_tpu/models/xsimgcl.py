@@ -102,13 +102,16 @@ class XSimGCL(LightGCN):
         if cfg.bf16_compute:
             u, i = u.astype(jnp.bfloat16), i.astype(jnp.bfloat16)
 
-        keep = None
+        keep = masks = None
         if noise_key is not None and cfg.dropout:
-            keep = jax.random.bernoulli(
-                jax.random.fold_in(noise_key, -1),
-                p=cfg.keep_prob,
-                shape=graph.edge_w_by_u.shape,
-            ).astype(u.dtype) / cfg.keep_prob
+            from gsrs_tpu.ops.spmm import edge_keep_mask
+
+            keep = edge_keep_mask(
+                jax.random.fold_in(noise_key, -1), graph, cfg.keep_prob,
+                dtype=u.dtype,
+            )
+            if not use_ell:
+                masks = (keep[graph.perm_by_u], keep[graph.perm_by_i])
 
         def perturb(x, key):
             noise = jax.random.uniform(key, x.shape, dtype=jnp.float32)
@@ -124,11 +127,6 @@ class XSimGCL(LightGCN):
             if use_ell:
                 cur_u, cur_i = ell_propagate_layer(ell, cur_u, cur_i, keep)
             else:
-                masks = (
-                    None
-                    if keep is None
-                    else (keep[graph.perm_by_u], keep[graph.perm_by_i])
-                )
                 cur_u, cur_i = propagate_layer(graph, cur_u, cur_i, masks)
             if noise_key is not None:
                 ku, ki = jax.random.split(jax.random.fold_in(noise_key, k))

@@ -58,13 +58,19 @@ def masked_scores_pallas(
     block_m: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused U @ I^T with train-positive masking. Requires B % block_b == 0,
-    (32·W) % block_m == 0 where W = bitset words; item_emb is padded up to
-    32·W rows internally (pad rows score NEG_INF is not needed — they are
-    masked only if their bits are set; callers slice [:, :m])."""
+    """Fused U @ I^T with train-positive masking. Both axes pad internally:
+    the user batch up to a block_b multiple (pad rows computed then sliced
+    off) and the catalog up to 32·W then a block_m multiple (pad columns
+    mask to NEG_INF and are sliced off); callers get exactly (B, m)."""
     B, d = user_emb.shape
     m = item_emb.shape[0]
     W = bitset_rows.shape[1]
+    # pad the batch so block_b divides it — a floor-divided grid would
+    # return uninitialized output rows for any ragged tail
+    B_pad = -(-B // block_b) * block_b
+    if B_pad != B:
+        user_emb = jnp.pad(user_emb, ((0, B_pad - B), (0, 0)))
+        bitset_rows = jnp.pad(bitset_rows, ((0, B_pad - B), (0, 0)))
     # pad the word dimension so block_m divides the padded catalog; pad
     # words are all-ones → their columns mask to NEG_INF (and are sliced
     # off anyway)
@@ -81,7 +87,7 @@ def masked_scores_pallas(
     m_pad = W_pad * 32
     if m_pad != m:
         item_emb = jnp.pad(item_emb, ((0, m_pad - m), (0, 0)))
-    grid = (B // block_b, m_pad // block_m)
+    grid = (B_pad // block_b, m_pad // block_m)
     out = pl.pallas_call(
         _masked_scores_kernel,
         grid=grid,
@@ -97,7 +103,7 @@ def masked_scores_pallas(
         out_specs=pl.BlockSpec(
             (block_b, block_m), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B_pad, m_pad), jnp.float32),
         interpret=interpret,
     )(user_emb, item_emb, bitset_rows)
-    return out[:, :m]
+    return out[:B, :m]

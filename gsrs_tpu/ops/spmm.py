@@ -67,19 +67,31 @@ def propagate_layer(
     return new_user, new_item
 
 
-def make_edge_dropout_masks(
-    key: jax.Array, graph: BipartiteGraph, keep_prob: float
-) -> Tuple[jax.Array, jax.Array]:
-    """Sample one Bernoulli(keep_prob) decision per *edge*, scaled by
-    1/keep_prob (inverted dropout), expressed in both sort orders so the
-    user-side and item-side SpMMs drop the same edges and the propagated
+def edge_keep_mask(
+    key: jax.Array, graph: BipartiteGraph, keep_prob: float, dtype=None
+) -> jax.Array:
+    """One Bernoulli(keep_prob)/keep_prob decision per *edge* in CANONICAL
+    order (inverted dropout) — the single source of the symmetry-critical
+    sampling; permute with perm_by_u/perm_by_i for the two SpMM sort
+    orders so both directions drop the same edges and the propagated
     graph stays symmetric in expectation.
 
     Implements the edge dropout the reference exposes as --dropout /
     --keepprob but leaves as a TODO (reference code/model.py:214,
     code/parse.py:30-33).
     """
-    keep = jax.random.bernoulli(
-        key, p=keep_prob, shape=graph.edge_w_by_u.shape
-    ).astype(graph.edge_w_by_u.dtype) / keep_prob
+    dtype = graph.edge_w_by_u.dtype if dtype is None else dtype
+    return (
+        jax.random.bernoulli(
+            key, p=keep_prob, shape=graph.edge_w_by_u.shape
+        ).astype(dtype)
+        / keep_prob
+    )
+
+
+def make_edge_dropout_masks(
+    key: jax.Array, graph: BipartiteGraph, keep_prob: float
+) -> Tuple[jax.Array, jax.Array]:
+    """`edge_keep_mask` expressed in both SpMM sort orders."""
+    keep = edge_keep_mask(key, graph, keep_prob)
     return keep[graph.perm_by_u], keep[graph.perm_by_i]

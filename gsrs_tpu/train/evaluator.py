@@ -33,7 +33,16 @@ from gsrs_tpu.ops.topk import masked_topk
 
 
 class Evaluator:
-    def __init__(self, data: InteractionData, model: LightGCN, cfg: EvalConfig):
+    def __init__(
+        self,
+        data: InteractionData,
+        model: LightGCN,
+        cfg: EvalConfig,
+        train_bitset=None,
+    ):
+        """``train_bitset``: optional pre-built (n_users, W) packed train
+        bitset — pass the sampler's copy to avoid holding a second one
+        resident in HBM (~150 MB at Gowalla scale)."""
         self.cfg = cfg
         self.model = model
         self.max_k = max(cfg.topks)
@@ -55,9 +64,13 @@ class Evaluator:
             gt[u] = len(items)
         self.gt_counts = gt
 
-        self.train_bitset = jnp.asarray(
-            build_bitset(
-                data.train_users, data.train_items, data.n_users, data.m_items
+        self.train_bitset = (
+            jnp.asarray(train_bitset)
+            if train_bitset is not None
+            else jnp.asarray(
+                build_bitset(
+                    data.train_users, data.train_items, data.n_users, data.m_items
+                )
             )
         )
         if data.test_dict:

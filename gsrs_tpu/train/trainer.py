@@ -97,7 +97,14 @@ class Trainer:
             cfg.train, self.steps_per_epoch
         )
         self.evaluator = (
-            Evaluator(data, model, cfg.eval) if (run_eval and data.test_dict) else None
+            # reuse the sampler's packed train bitset — a second copy
+            # would double ~150 MB of HBM at Gowalla scale
+            Evaluator(
+                data, model, cfg.eval,
+                train_bitset=self.sampler_state.train_bitset,
+            )
+            if (run_eval and data.test_dict)
+            else None
         )
         self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)
         # Triplets sampled per epoch; None = train_size (reference semantics,
@@ -326,27 +333,10 @@ class Trainer:
                     and state.epoch % t_cfg.eval_every == 0
                 ):
                     last_eval_epoch = state.epoch
-                    t0 = time.time()
-                    metrics = self.evaluate(state)
-                    eval_sec = time.time() - t0
-                    ndcg = metrics.get(f"ndcg@{main_k}", 0.0)
-                    row = {
-                        "epoch": state.epoch,
-                        "time_sec": f"{eval_sec:.3f}",
-                        "lr": self.current_lr(state),
-                    }
-                    row.update({k: f"{v:.6f}" for k, v in metrics.items()})
-                    valid_csv.append(row)
-                    tb.eval_metrics(metrics, self.cfg.eval.topks, state.epoch)
-                    if verbose:
-                        print(f"[eval e{state.epoch}] " + " ".join(
-                            f"{k}={v:.5f}" for k, v in sorted(metrics.items())
-                        ))
-                    if ndcg > state.best_metric:
-                        state = dataclasses.replace(state, best_metric=ndcg)
-                        self.ckpt.save_best(
-                            self._ckpt_state(state), state.epoch, t_cfg.keep_topk
-                        )
+                    state, improved = self._run_eval(
+                        state, valid_csv, tb, verbose, label="eval"
+                    )
+                    if improved:
                         evals_since_best = 0
                     else:
                         evals_since_best += 1
@@ -395,25 +385,38 @@ class Trainer:
             # eval fires BEFORE an epoch trains, so the state after the last
             # epoch has never been evaluated regardless of divisibility.
             if self.evaluator is not None and last_eval_epoch != state.epoch:
-                metrics = self.evaluate(state)
-                row = {
-                    "epoch": state.epoch,
-                    "time_sec": "",
-                    "lr": self.current_lr(state),
-                }
-                row.update({k: f"{v:.6f}" for k, v in metrics.items()})
-                valid_csv.append(row)
-                tb.eval_metrics(metrics, self.cfg.eval.topks, state.epoch)
-                ndcg = metrics.get(f"ndcg@{main_k}", 0.0)
-                if verbose:
-                    print(f"[final eval e{state.epoch}] " + " ".join(
-                        f"{k}={v:.5f}" for k, v in sorted(metrics.items())
-                    ))
-                if ndcg > state.best_metric:
-                    state = dataclasses.replace(state, best_metric=ndcg)
-                    self.ckpt.save_best(
-                        self._ckpt_state(state), state.epoch, t_cfg.keep_topk
-                    )
+                state, _ = self._run_eval(
+                    state, valid_csv, tb, verbose, label="final eval"
+                )
         finally:
             tb.close()
         return state
+
+    def _run_eval(self, state, valid_csv, tb, verbose, label="eval"):
+        """One eval + CSV/TB logging + best-NDCG checkpointing.
+        → (state, improved). Shared by the in-loop and final evals."""
+        t_cfg = self.cfg.train
+        main_k = max(self.cfg.eval.topks)
+        t0 = time.time()
+        metrics = self.evaluate(state)
+        eval_sec = time.time() - t0
+        row = {
+            "epoch": state.epoch,
+            "time_sec": f"{eval_sec:.3f}",
+            "lr": self.current_lr(state),
+        }
+        row.update({k: f"{v:.6f}" for k, v in metrics.items()})
+        valid_csv.append(row)
+        tb.eval_metrics(metrics, self.cfg.eval.topks, state.epoch)
+        if verbose:
+            print(f"[{label} e{state.epoch}] " + " ".join(
+                f"{k}={v:.5f}" for k, v in sorted(metrics.items())
+            ))
+        ndcg = metrics.get(f"ndcg@{main_k}", 0.0)
+        improved = ndcg > state.best_metric
+        if improved:
+            state = dataclasses.replace(state, best_metric=ndcg)
+            self.ckpt.save_best(
+                self._ckpt_state(state), state.epoch, t_cfg.keep_topk
+            )
+        return state, improved

@@ -93,3 +93,23 @@ def test_evaluator_with_pallas_scoring(tiny_data):
         pk.masked_scores_pallas = orig
     for k in base:
         np.testing.assert_allclose(base[k], fused[k], atol=1e-6)
+
+
+def test_masked_scores_ragged_batch(rng):
+    """B not a multiple of block_b must pad internally, not floor-truncate
+    the grid (which returned uninitialized rows)."""
+    B, m, d = 13, 64, 8  # 13 % 8 != 0
+    user_emb = rng.standard_normal((B, d)).astype(np.float32)
+    item_emb = rng.standard_normal((m, d)).astype(np.float32)
+    rows = np.zeros((B, m // 32), np.uint32)
+    rows[0, 0] = 1  # mask item 0 for user 0
+    got = np.asarray(
+        masked_scores_pallas(
+            jnp.asarray(user_emb), jnp.asarray(item_emb), jnp.asarray(rows),
+            block_b=8, block_m=64, interpret=True,
+        )
+    )
+    assert got.shape == (B, m)
+    ref = user_emb @ item_emb.T
+    ref[0, 0] = float(NEG_INF)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
