@@ -96,6 +96,19 @@ def dense_normalized_adjacency(data: InteractionData) -> np.ndarray:
     return dinv[:, None] * A * dinv[None, :]
 
 
+def _edge_checksum(users: np.ndarray, items: np.ndarray) -> np.int64:
+    """Cheap content fingerprint of the edge list: counts alone miss a
+    re-split/re-shuffled dataset with identical sizes, which would
+    silently reuse stale normalized weights."""
+    h = np.int64(1469598103934665603)  # FNV-ish mix over both endpoints
+    mix = (
+        users.astype(np.int64) * np.int64(1000003)
+        + items.astype(np.int64)
+        + np.arange(users.size, dtype=np.int64) * np.int64(31)
+    )
+    return h ^ np.bitwise_xor.reduce(mix) ^ np.int64(mix.sum())
+
+
 def _load_cached_weights(
     cache_path: str, data: InteractionData
 ) -> Optional[np.ndarray]:
@@ -105,6 +118,9 @@ def _load_cached_weights(
                 int(z["n_users"]) != data.n_users
                 or int(z["m_items"]) != data.m_items
                 or z["weights"].shape[0] != data.train_size
+                or "checksum" not in z.files  # pre-checksum cache: rebuild
+                or int(z["checksum"])
+                != int(_edge_checksum(data.train_users, data.train_items))
             ):
                 return None
             return z["weights"]
@@ -141,6 +157,7 @@ def build_graph(
                     weights=w,
                     n_users=data.n_users,
                     m_items=data.m_items,
+                    checksum=_edge_checksum(users, items),
                 )
             except OSError:
                 pass

@@ -48,6 +48,11 @@ class InteractionData:
     train_users: np.ndarray  # (N,) int64
     train_items: np.ndarray  # (N,) int64
     test_dict: Dict[int, np.ndarray]
+    # real item count when m_items was padded for mesh divisibility
+    # (`pad_nodes_to_multiple`); None = no padding. Consumers building
+    # membership bitsets pass this to build_bitset so phantom ids are
+    # rejected as negatives and masked out of top-k.
+    real_m_items: int = None
 
     # ------------------------------------------------------------ derived
     @property
@@ -259,9 +264,10 @@ def _build_test_dict(users: np.ndarray, items: np.ndarray) -> Dict[int, np.ndarr
 def pad_nodes_to_multiple(data: InteractionData, multiple: int) -> InteractionData:
     """Round n_users / m_items up to a multiple so row-sharded embedding
     tables divide evenly across the mesh's model axis. Phantom nodes have
-    zero degree and no edges, so they never receive propagation mass or
-    get sampled; only the table shapes change. No reference counterpart
-    (the reference is single-device)."""
+    zero degree and no edges, so they receive no propagation mass; the
+    recorded ``real_m_items`` makes bitset consumers reject phantom item
+    ids as negatives and mask them out of eval/serving top-k. No
+    reference counterpart (the reference is single-device)."""
     if multiple <= 1:
         return data
     n = -(-data.n_users // multiple) * multiple
@@ -275,4 +281,5 @@ def pad_nodes_to_multiple(data: InteractionData, multiple: int) -> InteractionDa
         train_users=data.train_users,
         train_items=data.train_items,
         test_dict=data.test_dict,
+        real_m_items=data.real_m_items or data.m_items,
     )

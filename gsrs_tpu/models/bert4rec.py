@@ -184,10 +184,20 @@ class BERT4Rec:
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         del seqs
         if dropout_key is None:
-            dropout_key = jax.random.key(0)
+            # the cloze objective is stochastic by construction — a
+            # fabricated fixed key would sample the identical corruption
+            # every call and apply dropout on a path the family contract
+            # defines as deterministic
+            raise ValueError(
+                "BERT4Rec.next_item_bpr_loss requires a PRNG key: the "
+                "cloze corruption must be re-sampled per step (SeqTrainer "
+                "always passes one)"
+            )
         k_mask, k_drop = jax.random.split(dropout_key)
         corrupted, masked = self.cloze_mask(k_mask, pos)
-        h = self.encode(params, corrupted, k_drop)
+        h = self.encode(
+            params, corrupted, k_drop if self.cfg.dropout_rate > 0 else None
+        )
         pe = params["item_emb"][pos]
         ne = params["item_emb"][neg]
         pos_scores = jnp.sum(h * pe, axis=-1)

@@ -41,12 +41,18 @@ from gsrs_tpu.data.adjacency import BipartiteGraph
 from gsrs_tpu.models.lightgcn import LightGCN, Params
 from gsrs_tpu.ops.ell import ell_propagate_layer
 from gsrs_tpu.ops.linalg import l2_normalize
-from gsrs_tpu.ops.spmm import propagate_layer
+from gsrs_tpu.ops.spmm import edge_keep_mask, propagate_layer
 
 
 class NGCF(LightGCN):
     def __init__(self, cfg: ModelConfig, graph: BipartiteGraph, i2i=None, ell=None):
-        cfg = dataclasses.replace(cfg, use_pop_gate=False, use_item_item=False)
+        # reg_mode is pinned to 'ego' (the NGCF paper's convention):
+        # under 'propagated' the readout is a concat of L2-normalized
+        # layers, so every row has constant squared norm K+1 and the L2
+        # term would have zero gradient — --decay would be a silent no-op.
+        cfg = dataclasses.replace(
+            cfg, use_pop_gate=False, use_item_item=False, reg_mode="ego"
+        )
         super().__init__(cfg, graph, i2i=None, ell=ell)
 
     # ------------------------------------------------------------------ init
@@ -84,11 +90,13 @@ class NGCF(LightGCN):
         compute_dtype = jnp.bfloat16 if self.cfg.bf16_compute else jnp.float32
         u, i = u.astype(compute_dtype), i.astype(compute_dtype)
 
-        keep = None
+        keep = masks = None
         if dropout_key is not None and self.cfg.dropout:
-            keep = jax.random.bernoulli(
-                dropout_key, p=self.cfg.keep_prob, shape=graph.edge_w_by_u.shape
-            ).astype(u.dtype) / self.cfg.keep_prob
+            keep = edge_keep_mask(
+                dropout_key, graph, self.cfg.keep_prob, dtype=u.dtype
+            )
+            if not use_ell:
+                masks = (keep[graph.perm_by_u], keep[graph.perm_by_i])
 
         _norm = l2_normalize
         outs_u = [_norm(u.astype(jnp.float32))]
@@ -98,11 +106,6 @@ class NGCF(LightGCN):
             if use_ell:
                 agg_u, agg_i = ell_propagate_layer(ell, cur_u, cur_i, keep)
             else:
-                masks = (
-                    None
-                    if keep is None
-                    else (keep[graph.perm_by_u], keep[graph.perm_by_i])
-                )
                 agg_u, agg_i = propagate_layer(graph, cur_u, cur_i, masks)
             w1 = params[f"ngcf_w1_{k}"].astype(compute_dtype)
             w2 = params[f"ngcf_w2_{k}"].astype(compute_dtype)

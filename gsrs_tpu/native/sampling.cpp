@@ -53,7 +53,9 @@ int64_t gsrs_sample_negative(int64_t user_num, int64_t item_num,
     const int32_t* begin = indices + indptr[u];
     const int32_t* end = indices + indptr[u + 1];
     const int64_t deg = end - begin;
-    if (deg == 0) continue;
+    // deg == item_num: no valid negative exists — skip instead of an
+    // unbounded rejection spin
+    if (deg == 0 || deg >= item_num) continue;
     for (int64_t k = 0; k < per_user; ++k) {
       int64_t* r = out + row * (2 + neg_num);
       r[0] = u;
@@ -83,7 +85,7 @@ int64_t gsrs_sample_negative_by_user(const int64_t* users, int64_t n_rows,
     const int32_t* begin = indices + indptr[u];
     const int32_t* end = indices + indptr[u + 1];
     const int64_t deg = end - begin;
-    if (deg == 0) continue;
+    if (deg == 0 || deg >= item_num) continue;
     int64_t* r = out + row * (2 + neg_num);
     r[0] = u;
     r[1] = begin[randint(deg)];

@@ -25,9 +25,19 @@ def bitset_words(m_items: int) -> int:
 
 
 def build_bitset(
-    users: np.ndarray, items: np.ndarray, n_users: int, m_items: int
+    users: np.ndarray,
+    items: np.ndarray,
+    n_users: int,
+    m_items: int,
+    real_m_items: int = None,
 ) -> np.ndarray:
-    """Host-side construction of the packed membership table."""
+    """Host-side construction of the packed membership table.
+
+    ``real_m_items``: when the catalog was padded for mesh divisibility
+    (`pad_nodes_to_multiple`), pass the REAL item count — the phantom
+    columns [real_m_items, m_items) are set in every row, so the sampler
+    rejects phantom ids as negatives and eval/serving masks them out of
+    top-k (they correspond to no real item)."""
     W = bitset_words(m_items)
     out = np.zeros((n_users, W), dtype=np.uint32)
     np.bitwise_or.at(
@@ -35,6 +45,13 @@ def build_bitset(
         (users.astype(np.int64), (items >> 5).astype(np.int64)),
         (np.uint32(1) << (items & 31).astype(np.uint32)),
     )
+    if real_m_items is not None and real_m_items < m_items:
+        cols = np.arange(real_m_items, m_items)
+        words = (cols >> 5).astype(np.int64)
+        bits = np.uint32(1) << (cols & 31).astype(np.uint32)
+        row_mask = np.zeros(W, dtype=np.uint32)
+        np.bitwise_or.at(row_mask, words, bits)
+        out |= row_mask[None, :]
     return out
 
 

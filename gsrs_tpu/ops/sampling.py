@@ -65,7 +65,8 @@ def make_sampler_state(data: InteractionData) -> SamplerState:
         pos_items=net.indices.astype(np.int32),
         valid_users=valid_p,
         train_bitset=build_bitset(
-            data.train_users, data.train_items, data.n_users, data.m_items
+            data.train_users, data.train_items, data.n_users, data.m_items,
+            real_m_items=data.real_m_items,
         ),
         n_valid=n_valid,
         m_items=data.m_items,
@@ -111,6 +112,10 @@ def sample_triplets_python(
     for u in users:
         s, e = net.indptr[u], net.indptr[u + 1]
         if s == e:
+            continue
+        # a user whose positives cover the whole catalog has no valid
+        # negative — skip instead of spinning in the rejection loop
+        if e - s >= data.m_items:
             continue
         pos = net.indices[s + rng.integers(0, e - s)]
         while True:

@@ -33,6 +33,12 @@ def make_train_step(
     Batch arrays come in sharded over 'data'; tables live row-sharded over
     'model'. The loss is a global mean — GSPMD turns the batch-mean grad
     into a psum over the data axis automatically."""
+    if model.cfg.dropout:
+        raise NotImplementedError(
+            "edge dropout is not wired into the standalone GSPMD step "
+            "(bpr_loss is called with dropout_key=None here); use the "
+            "Trainer's mesh path, which threads dropout keys through GSPMD"
+        )
     sh = GraphShardings(mesh)
     batch_s = sh.batch_spec()
     rep = sh.replicated()

@@ -22,11 +22,23 @@ from gsrs_tpu.config import ParallelConfig
 
 
 def distributed_init() -> None:
-    """Initialize the multi-host JAX runtime when launched under a
-    multi-host coordinator (no-op on a single host). Controlled via the
-    standard JAX env vars; safe to call unconditionally."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    """Initialize the multi-host JAX runtime when launched in a
+    multi-host environment (no-op on a single host). Triggers on the
+    explicit coordinator env var AND on the standard TPU-pod launch env
+    (where ``jax.distributed.initialize()`` auto-detects its arguments)
+    — without the latter, each pod host would silently train its own
+    independent copy on a disjoint device mesh."""
+    multi_host_env = (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("TPU_WORKER_HOSTNAMES")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if multi_host_env:
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:
+            # already initialized (repeat call) — fine
+            print(f"[mesh] jax.distributed.initialize skipped: {e}")
 
 
 def make_mesh(

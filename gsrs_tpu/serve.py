@@ -92,7 +92,8 @@ def retriever_from_model(
     )(params, model.graph, model.ell)
     seen = jnp.asarray(
         build_bitset(
-            data.train_users, data.train_items, data.n_users, data.m_items
+            data.train_users, data.train_items, data.n_users, data.m_items,
+            real_m_items=getattr(data, "real_m_items", None),
         )
     )
     return Retriever(all_users, items, seen, batch_size=batch_size)

@@ -69,7 +69,8 @@ class Evaluator:
             if train_bitset is not None
             else jnp.asarray(
                 build_bitset(
-                    data.train_users, data.train_items, data.n_users, data.m_items
+                    data.train_users, data.train_items, data.n_users,
+                    data.m_items, real_m_items=data.real_m_items,
                 )
             )
         )

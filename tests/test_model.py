@@ -242,3 +242,33 @@ def test_reg_mode_ego_vs_propagated(tiny_data):
     np.testing.assert_allclose(
         float(aux_ego["bpr"]), float(aux_prop["bpr"]), rtol=1e-6
     )
+
+
+def test_ngcf_reg_has_gradient(tiny_data):
+    """NGCF pins reg_mode='ego': under 'propagated' the L2-normalized
+    concat readout has constant row norms and the reg term would have
+    zero gradient (silent no-op of --decay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsrs_tpu.config import ModelConfig
+    from gsrs_tpu.data.adjacency import build_graph
+    from gsrs_tpu.models.registry import build_model
+    from gsrs_tpu.ops.ell import ell_from_interactions
+
+    cfg = ModelConfig(model="ngcf", num_layers=2, embedding_dim=8)
+    graph = build_graph(tiny_data, edge_pad_multiple=256)
+    model = build_model(cfg, graph, ell=ell_from_interactions(tiny_data))
+    assert model.cfg.reg_mode == "ego"
+    params = model.init_params(jax.random.key(0))
+    users = jnp.arange(8, dtype=jnp.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)
+    neg = (jnp.arange(8, dtype=jnp.int32) + 9) % tiny_data.m_items
+
+    def reg_only(p):
+        _, aux = model.bpr_loss(p, users, pos, neg)
+        return aux["reg"]
+
+    g = jax.grad(reg_only)(params)
+    assert float(jnp.abs(g["user_emb"]).sum()) > 0.0
+    assert float(jnp.abs(g["item_emb"]).sum()) > 0.0

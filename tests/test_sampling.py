@@ -111,3 +111,46 @@ def test_bitset_row_mask(tiny_data):
     rows = np.array([0, 3, 7])
     got = np.asarray(bitset_row_mask(jnp.asarray(bs[rows]), tiny_data.m_items))
     np.testing.assert_array_equal(got, _dense_mask(tiny_data)[rows])
+
+
+def test_python_sampler_skips_full_coverage_user():
+    """A user whose positives cover the entire catalog has no valid
+    negative — the fallback must skip them, not spin forever."""
+    import numpy as np
+
+    from gsrs_tpu.data.dataset import InteractionData
+    from gsrs_tpu.ops.sampling import sample_triplets_python
+
+    m = 6
+    # user 0 interacted with everything; user 1 with one item
+    users = np.array([0] * m + [1], dtype=np.int64)
+    items = np.array(list(range(m)) + [0], dtype=np.int64)
+    data = InteractionData("full", 2, m, users, items, {})
+    rng = np.random.default_rng(0)
+    rows = sample_triplets_python(rng, data, 50)
+    assert rows.size  # user-1 rows survive
+    assert (rows[:, 0] == 1).all()
+
+
+def test_padded_catalog_phantom_items_masked():
+    """After pad_nodes_to_multiple, phantom item ids must be rejected as
+    negatives (train bitset has their bits set for every user)."""
+    import jax
+    import numpy as np
+
+    from gsrs_tpu.data.dataset import InteractionData, pad_nodes_to_multiple
+    from gsrs_tpu.ops.sampling import make_sampler_state, sample_triplets
+
+    users = np.repeat(np.arange(10, dtype=np.int64), 5)
+    items = np.tile(np.arange(5, dtype=np.int64), 10)
+    data = InteractionData("pad", 10, 31, users, items, {})
+    padded = pad_nodes_to_multiple(data, 16)  # m: 31 → 32, n: 10 → 16
+    assert padded.m_items == 32 and padded.real_m_items == 31
+    state = make_sampler_state(padded)
+    # every user's phantom bit (item 31) must be set
+    rows = np.asarray(state.train_bitset)
+    assert ((rows[:, 0] >> 31) & 1).all()
+    _, _, neg = sample_triplets(jax.random.key(0), state, 2048)
+    neg = np.asarray(neg)
+    assert (neg < 31).all(), f"phantom ids sampled as negatives: {neg[neg >= 31]}"
+    assert (neg >= 5).all()  # 0..4 are everyone's positives
