@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gsrs_tpu.models._transformer import encode_transformer, init_encoder_params
+
 Params = Dict[str, jax.Array]
 
 
@@ -60,36 +62,16 @@ class BERT4Rec:
     # ------------------------------------------------------------------ init
     def init_params(self, key: jax.Array) -> Params:
         c = self.cfg
-        d = c.embedding_dim
-        ks = iter(jax.random.split(key, 4 + 8 * c.num_blocks))
-        params: Params = {
-            "item_emb": 0.1 * jax.random.normal(next(ks), (c.m_items + 2, d)),
-            "pos_emb": 0.1 * jax.random.normal(next(ks), (c.max_len, d)),
-            "ln_f_scale": jnp.ones((d,)),
-            "ln_f_bias": jnp.zeros((d,)),
-        }
-        for b in range(c.num_blocks):
-            glorot = lambda k, i, o: jax.random.normal(k, (i, o)) * np.sqrt(2.0 / (i + o))
-            params[f"b{b}_wq"] = glorot(next(ks), d, d)
-            params[f"b{b}_wk"] = glorot(next(ks), d, d)
-            params[f"b{b}_wv"] = glorot(next(ks), d, d)
-            params[f"b{b}_wo"] = glorot(next(ks), d, d)
-            params[f"b{b}_ffn1"] = glorot(next(ks), d, c.ffn_hidden)
-            params[f"b{b}_ffn1_b"] = jnp.zeros((c.ffn_hidden,))
-            params[f"b{b}_ffn2"] = glorot(next(ks), c.ffn_hidden, d)
-            params[f"b{b}_ffn2_b"] = jnp.zeros((d,))
-            for ln in ("ln1", "ln2"):
-                params[f"b{b}_{ln}_scale"] = jnp.ones((d,))
-                params[f"b{b}_{ln}_bias"] = jnp.zeros((d,))
-        return params
+        return init_encoder_params(
+            key,
+            vocab_rows=c.m_items + 2,  # PAD + items + MASK
+            max_len=c.max_len,
+            d=c.embedding_dim,
+            num_blocks=c.num_blocks,
+            ffn_hidden=c.ffn_hidden,
+        )
 
     # --------------------------------------------------------------- encoder
-    @staticmethod
-    def _layer_norm(x, scale, bias, eps=1e-6):
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
-
     def encode(
         self,
         params: Params,
@@ -97,62 +79,22 @@ class BERT4Rec:
         dropout_key: Optional[jax.Array] = None,
     ) -> jax.Array:
         """→ (B, L, d) hidden states; every position attends to every
-        non-PAD position (bidirectional — the defining difference from
-        `gsrs_tpu.models.sasrec.SASRec.encode`)."""
+        non-PAD position (the bidirectional mask + GELU FFN are what
+        distinguish this from SASRec — the encoder itself is the shared
+        `models._transformer`)."""
         c = self.cfg
-        d = c.embedding_dim
-        compute_dtype = jnp.bfloat16 if c.bf16_compute else jnp.float32
-
-        pad_mask = (seqs != 0)[:, :, None]
-        x = params["item_emb"][seqs] * np.sqrt(d) + params["pos_emb"][None, :, :]
-        x = jnp.where(pad_mask, x, 0.0).astype(compute_dtype)
         attn_mask = (seqs != 0)[:, None, :]  # (B, 1, L): keys must be real
-
-        drop_i = 0
-
-        def dropout(t):
-            nonlocal drop_i
-            if dropout_key is None or c.dropout_rate == 0.0:
-                return t
-            drop_i += 1
-            keep = jax.random.bernoulli(
-                jax.random.fold_in(dropout_key, drop_i), 1.0 - c.dropout_rate, t.shape
-            )
-            return jnp.where(keep, t / (1.0 - c.dropout_rate), 0.0).astype(t.dtype)
-
-        x = dropout(x)
-        H = c.num_heads
-        hd = d // H
-        for b in range(c.num_blocks):
-            h = self._layer_norm(
-                x, params[f"b{b}_ln1_scale"], params[f"b{b}_ln1_bias"]
-            ).astype(compute_dtype)
-            q = (h @ params[f"b{b}_wq"].astype(compute_dtype)).reshape(-1, c.max_len, H, hd)
-            k = (h @ params[f"b{b}_wk"].astype(compute_dtype)).reshape(-1, c.max_len, H, hd)
-            v = (h @ params[f"b{b}_wv"].astype(compute_dtype)).reshape(-1, c.max_len, H, hd)
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-            logits = logits / np.sqrt(hd)
-            logits = jnp.where(attn_mask[:, None, :, :], logits, -1e9)
-            probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
-            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
-            attn = attn.reshape(-1, c.max_len, d).astype(compute_dtype)
-            x = x + dropout(attn @ params[f"b{b}_wo"].astype(compute_dtype))
-
-            h = self._layer_norm(
-                x, params[f"b{b}_ln2_scale"], params[f"b{b}_ln2_bias"]
-            ).astype(compute_dtype)
-            ffn = jax.nn.gelu(
-                h @ params[f"b{b}_ffn1"].astype(compute_dtype)
-                + params[f"b{b}_ffn1_b"].astype(compute_dtype)
-            )
-            ffn = ffn @ params[f"b{b}_ffn2"].astype(compute_dtype) + params[
-                f"b{b}_ffn2_b"
-            ].astype(compute_dtype)
-            x = x + dropout(ffn)
-            x = jnp.where(pad_mask, x, 0.0)
-
-        return self._layer_norm(
-            x.astype(jnp.float32), params["ln_f_scale"], params["ln_f_bias"]
+        return encode_transformer(
+            params,
+            seqs,
+            attn_mask,
+            max_len=c.max_len,
+            num_blocks=c.num_blocks,
+            num_heads=c.num_heads,
+            dropout_rate=c.dropout_rate,
+            bf16_compute=c.bf16_compute,
+            activation=jax.nn.gelu,
+            dropout_key=dropout_key,
         )
 
     # ------------------------------------------------------------------ cloze
