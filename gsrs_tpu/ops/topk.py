@@ -8,7 +8,8 @@ positions), and ranking uses `jax.lax.top_k`.
 
 The sharded variant (catalog split over the `model` mesh axis) computes a
 local top-k per shard and merges via all-gather — see
-`gsrs_tpu.parallel.dist_eval`.
+`gsrs_tpu.parallel.dist_train.make_eval_scores_fn` and the mesh-enabled
+`gsrs_tpu.serve.Retriever`.
 """
 
 from __future__ import annotations

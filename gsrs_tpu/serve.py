@@ -32,25 +32,61 @@ from gsrs_tpu.ops.topk import masked_topk
 
 @dataclasses.dataclass
 class Retriever:
-    """Serves top-k recommendations from precomputed final embeddings."""
+    """Serves top-k recommendations from precomputed final embeddings.
+
+    ``mesh``: an optional (data, model) `jax.sharding.Mesh`. When set,
+    the user/item tables and the seen-bitset row-shard over the ``model``
+    axis — catalogs too large for one device's HBM serve from the whole
+    mesh, and GSPMD turns the per-request top-k into local-topk +
+    gather-merge across catalog shards. Single-device is mesh=None."""
 
     user_emb: jax.Array  # (n, d) post-propagation user representations
     item_emb: jax.Array  # (m, d) post-propagation (+fused) item table
     seen_bitset: jax.Array  # (n, ceil(m/32)) uint32 — items to exclude
     batch_size: int = 256
+    mesh: Optional[object] = None
 
     def __post_init__(self):
+        self._real_n = int(self.user_emb.shape[0])
+        self._real_m = int(self.item_emb.shape[0])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            m_ax = int(self.mesh.shape["model"])
+            n_pad = -(-self._real_n // m_ax) * m_ax
+            m_pad = -(-self._real_m // m_ax) * m_ax
+            ue = np.zeros((n_pad, self.user_emb.shape[1]), np.float32)
+            ue[: self._real_n] = np.asarray(self.user_emb)
+            ie = np.zeros((m_pad, self.item_emb.shape[1]), np.float32)
+            ie[: self._real_m] = np.asarray(self.item_emb)
+            # widen the bitset to the padded catalog and set every phantom
+            # column in every row, so zero-embedding pad items can never
+            # outrank real ones in top-k
+            W_pad = (m_pad + 31) // 32
+            sb = np.zeros((n_pad, W_pad), np.uint32)
+            src = np.asarray(self.seen_bitset)
+            sb[: self._real_n, : src.shape[1]] = src
+            cols = np.arange(self._real_m, m_pad)
+            np.bitwise_or.at(
+                sb.T,  # per-word OR across all rows via broadcasting
+                ((cols >> 5).astype(np.int64),),
+                (np.uint32(1) << (cols & 31).astype(np.uint32))[:, None],
+            )
+            row = NamedSharding(self.mesh, P("model", None))
+            self.user_emb = jax.device_put(jnp.asarray(ue), row)
+            self.item_emb = jax.device_put(jnp.asarray(ie), row)
+            self.seen_bitset = jax.device_put(jnp.asarray(sb), row)
         self._fn = jax.jit(
             masked_topk, static_argnames=("k", "method", "recall_target")
         )
 
     @property
     def n_users(self) -> int:
-        return int(self.user_emb.shape[0])
+        return self._real_n
 
     @property
     def m_items(self) -> int:
-        return int(self.item_emb.shape[0])
+        return self._real_m
 
     def recommend(
         self, user_ids: Sequence[int], k: int = 20
@@ -109,13 +145,14 @@ def export_embeddings(retriever: Retriever, path: str) -> None:
     )
 
 
-def load_retriever(path: str, batch_size: int = 256) -> Retriever:
+def load_retriever(path: str, batch_size: int = 256, mesh=None) -> Retriever:
     with np.load(path) as z:
         return Retriever(
             jnp.asarray(z["user_emb"]),
             jnp.asarray(z["item_emb"]),
             jnp.asarray(z["seen_bitset"]),
             batch_size=batch_size,
+            mesh=mesh,
         )
 
 
@@ -150,6 +187,10 @@ def main(argv: Optional[list] = None) -> None:
     qry.add_argument("--artifact", required=True)
     qry.add_argument("--users", type=int, nargs="+", required=True)
     qry.add_argument("--k", type=int, default=20)
+    qry.add_argument(
+        "--model_axis", type=int, default=1,
+        help="shard the catalog over this many devices (pod-scale serving)",
+    )
 
     args = ap.parse_args(argv)
     if args.cmd == "export":
@@ -228,7 +269,12 @@ def main(argv: Optional[list] = None) -> None:
         export_embeddings(r, args.out)
         print(f"[serve] exported {args.out}: {r.n_users} users × {r.m_items} items")
     else:
-        r = load_retriever(args.artifact)
+        mesh = None
+        if args.model_axis > 1:
+            from gsrs_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(data_axis=1, model_axis=args.model_axis)
+        r = load_retriever(args.artifact, mesh=mesh)
         items, scores = r.recommend(args.users, k=args.k)
         for u, its, scs in zip(args.users, items, scores):
             pairs = " ".join(f"{i}:{s:.3f}" for i, s in zip(its, scs))

@@ -348,3 +348,26 @@ def test_seq_mesh_checkpoint_interop(tmp_path):
     st2 = other.fit(epochs=3, checkpoint_dir=ckdir, eval_every=5,
                     resume=True, verbose=False)
     assert st2.epoch == 3
+
+
+def test_sharded_retriever_matches_single_device(tmp_path, setup):
+    """Catalog-sharded serving (model-axis row shards + phantom-column
+    masking) must return the same recommendations as single-device."""
+    from gsrs_tpu.serve import retriever_from_model, Retriever
+
+    data, graph, model, params, _, _ = setup
+    base = retriever_from_model(model, params, data, batch_size=16)
+    users = list(range(0, data.n_users, 5))
+    items_a, scores_a = base.recommend(users, k=10)
+
+    mesh = make_mesh(data_axis=2, model_axis=4)
+    sharded = Retriever(
+        base.user_emb, base.item_emb, base.seen_bitset,
+        batch_size=16, mesh=mesh,
+    )
+    assert sharded.n_users == data.n_users and sharded.m_items == data.m_items
+    items_b, scores_b = sharded.recommend(users, k=10)
+    np.testing.assert_allclose(scores_a, scores_b, atol=1e-5)
+    np.testing.assert_array_equal(items_a, items_b)
+    # no phantom (>= m_items) id ever served
+    assert (items_b < data.m_items).all()
