@@ -31,7 +31,7 @@ def __getattr__(name):
 # for dotted imports).
 for _sub in (
     "data", "models", "ops", "parallel", "train", "utils", "native",
-    "cli", "config", "seq_cli", "serve",
+    "cli", "config", "seq_cli", "serve", "serve_seq",
 ):
     try:
         _sys.modules[f"{__name__}.{_sub}"] = _importlib.import_module(
