@@ -47,6 +47,9 @@ def wait_for_tpu(max_wait_s: int = 900) -> None:
     deadline = time.time() + max_wait_s
     probe = (
         "import jax, jax.numpy as jnp;"
+        # refuse the CPU fallback: this bench's numbers are only meaningful
+        # on the accelerator (platform is 'tpu'/'axon', never 'cpu')
+        "assert jax.devices()[0].platform != 'cpu', jax.devices();"
         "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"
     )
     while True:

@@ -127,11 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
-    data_root = args.data_root or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
-    )
+    # data_root default lives in DataConfig's factory — only override it
+    # when the flag was actually passed
+    data_kw = {"data_root": args.data_root} if args.data_root else {}
     return ExperimentConfig(
-        data=DataConfig(dataset=args.dataset, data_root=data_root),
+        data=DataConfig(dataset=args.dataset, **data_kw),
         model=ModelConfig(
             model=args.model,
             embedding_dim=args.recdim,
@@ -216,6 +216,13 @@ def main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     _enable_compilation_cache()
+
+    # host-side RNG seeding (numpy global / random / torch / the native
+    # sampler), matching reference utils.set_seed at startup
+    # (code/main.py:136); on-device sampling derives from cfg.train.seed
+    from gsrs_tpu.utils.seeding import set_seed
+
+    set_seed(args.seed)
 
     from gsrs_tpu.data.adjacency import build_graph
     from gsrs_tpu.data.dataset import load_dataset, load_lastfm

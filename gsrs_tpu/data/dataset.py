@@ -48,11 +48,13 @@ class InteractionData:
     train_users: np.ndarray  # (N,) int64
     train_items: np.ndarray  # (N,) int64
     test_dict: Dict[int, np.ndarray]
-    # real item count when m_items was padded for mesh divisibility
-    # (`pad_nodes_to_multiple`); None = no padding. Consumers building
-    # membership bitsets pass this to build_bitset so phantom ids are
-    # rejected as negatives and masked out of top-k.
+    # real node counts when n_users/m_items were padded for mesh
+    # divisibility (`pad_nodes_to_multiple`); None = no padding. Consumers
+    # building membership bitsets pass real_m_items to build_bitset so
+    # phantom ids are rejected as negatives and masked out of top-k;
+    # serving slices exports back to the real sizes.
     real_m_items: int = None
+    real_n_users: int = None
 
     # ------------------------------------------------------------ derived
     @property
@@ -282,4 +284,5 @@ def pad_nodes_to_multiple(data: InteractionData, multiple: int) -> InteractionDa
         train_items=data.train_items,
         test_dict=data.test_dict,
         real_m_items=data.real_m_items or data.m_items,
+        real_n_users=data.real_n_users or data.n_users,
     )

@@ -76,9 +76,13 @@ class Retriever:
             self.user_emb = jax.device_put(jnp.asarray(ue), row)
             self.item_emb = jax.device_put(jnp.asarray(ie), row)
             self.seen_bitset = jax.device_put(jnp.asarray(sb), row)
-        self._fn = jax.jit(
-            masked_topk, static_argnames=("k", "method", "recall_target")
-        )
+        # one jitted program per request: gathers + scoring + masked top-k
+        # (gathering outside jit would cost two extra device dispatches per
+        # chunk — expensive through a remote-device tunnel or across shards)
+        def _serve(user_emb, item_emb, seen, ids, k):
+            return masked_topk(user_emb[ids], item_emb, seen[ids], k)
+
+        self._fn = jax.jit(_serve, static_argnames=("k",))
 
     @property
     def n_users(self) -> int:
@@ -108,9 +112,10 @@ class Retriever:
             padded = np.zeros(B, np.int32)
             padded[: chunk.size] = chunk
             scores, items = self._fn(
-                self.user_emb[padded],
+                self.user_emb,
                 self.item_emb,
-                self.seen_bitset[padded],
+                self.seen_bitset,
+                jnp.asarray(padded),
                 k=k,
             )
             out_items[s : s + B] = np.asarray(items)[: chunk.size]
@@ -119,20 +124,27 @@ class Retriever:
 
 
 def retriever_from_model(
-    model, params, data, batch_size: int = 256
+    model, params, data, batch_size: int = 256, mesh=None
 ) -> Retriever:
     """Build a Retriever from a live graph model (LightGCN family): one
-    propagation + fusion, then the train-interaction bitset for masking."""
+    propagation + fusion, then the train-interaction bitset for masking.
+
+    If ``data`` was mesh-padded (`pad_nodes_to_multiple`), the final
+    embeddings are sliced back to the REAL node counts so the artifact is
+    canonical regardless of the training mesh config."""
     all_users, items, _ = jax.jit(
         lambda p, g, e: model.final_embeddings(p, graph=g, ell=e)
     )(params, model.graph, model.ell)
+    n_real = getattr(data, "real_n_users", None) or data.n_users
+    m_real = getattr(data, "real_m_items", None) or data.m_items
+    all_users = all_users[:n_real]
+    items = items[:m_real]
     seen = jnp.asarray(
         build_bitset(
-            data.train_users, data.train_items, data.n_users, data.m_items,
-            real_m_items=getattr(data, "real_m_items", None),
+            data.train_users, data.train_items, n_real, m_real
         )
     )
-    return Retriever(all_users, items, seen, batch_size=batch_size)
+    return Retriever(all_users, items, seen, batch_size=batch_size, mesh=mesh)
 
 
 def export_embeddings(retriever: Retriever, path: str) -> None:
@@ -169,6 +181,12 @@ def main(argv: Optional[list] = None) -> None:
     exp.add_argument("--checkpoint_dir", required=True)
     exp.add_argument("--dataset_dir", required=True)
     exp.add_argument("--out", required=True)
+    exp.add_argument(
+        "--model_axis", type=int, default=1,
+        help="model-axis size the checkpoint was TRAINED with (node counts "
+        "were padded to this multiple; the export is sliced back to real "
+        "sizes)",
+    )
     exp.add_argument("--model", default="lgn")
     exp.add_argument("--layer", type=int, default=3)
     exp.add_argument("--recdim", type=int, default=64)
@@ -202,6 +220,10 @@ def main(argv: Optional[list] = None) -> None:
         from gsrs_tpu.train.checkpoint import CheckpointManager
 
         data = load_dataset(args.dataset_dir)
+        if args.model_axis > 1:
+            from gsrs_tpu.data.dataset import pad_nodes_to_multiple
+
+            data = pad_nodes_to_multiple(data, args.model_axis)
         graph = build_graph(data, cache_dir=args.dataset_dir)
         # prefer the model config the trainer persisted next to the
         # checkpoints — CLI flags are the fallback for older artifacts

@@ -36,10 +36,21 @@ class CheckpointManager:
 
     # ----------------------------------------------------------------- save
     def _save(self, path: str, state: Dict[str, Any]) -> None:
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        self._ckptr.save(path, state)
+        # Keep the previous checkpoint intact until the replacement is
+        # fully written (the reference's tmp+os.replace discipline,
+        # code/main.py:56-67): write to .tmp, swap via two renames. A
+        # crash mid-save leaves the old checkpoint (plus a stale .tmp/.old
+        # that the next save clears) — never a window with neither.
+        tmp, old = path + ".tmp", path + ".old"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        self._ckptr.save(tmp, state)
         self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def save_last(self, state: Dict[str, Any]) -> None:
         self._save(os.path.join(self.dir, "last"), state)
@@ -65,14 +76,21 @@ class CheckpointManager:
         self, resume_path: Optional[str], legacy: Optional[str] = None
     ) -> Optional[str]:
         """Reference resume chain (code/main.py:151-166): explicit path,
-        then <dir>/last, then the legacy-named checkpoint."""
-        candidates = []
+        then <dir>/last, then the legacy-named checkpoint. An explicitly
+        requested path that does not exist is an ERROR, not a silent
+        fallthrough — resuming from a different checkpoint than the one
+        the user named would be easy to miss in logs."""
         if resume_path:
-            candidates.append(resume_path)
-        candidates.append(os.path.join(self.dir, "last"))
+            if os.path.isdir(resume_path):
+                return resume_path
+            raise FileNotFoundError(
+                f"--resume_path {resume_path!r} does not exist (refusing to "
+                f"silently fall back to {os.path.join(self.dir, 'last')})"
+            )
+        candidates = [os.path.join(self.dir, "last")]
         if legacy:
             candidates.append(os.path.join(self.dir, legacy))
         for c in candidates:
-            if c and os.path.isdir(c):
+            if os.path.isdir(c):
                 return c
         return None

@@ -371,3 +371,21 @@ def test_sharded_retriever_matches_single_device(tmp_path, setup):
     np.testing.assert_array_equal(items_a, items_b)
     # no phantom (>= m_items) id ever served
     assert (items_b < data.m_items).all()
+
+
+def test_dist_steps_reject_dropout(setup):
+    """The standalone distributed steps must fail loudly when edge
+    dropout is configured (they'd silently ignore it otherwise)."""
+    from gsrs_tpu.parallel.dist_train import make_train_step
+    from gsrs_tpu.parallel.shard_map_train import make_shard_map_train_step
+
+    data, graph, model, params, optimizer, _ = setup
+    drop_model = build_model(
+        dataclasses.replace(model.cfg, dropout=True),
+        graph, ell=model.ell,
+    )
+    mesh = make_mesh(data_axis=2, model_axis=4)
+    with pytest.raises(NotImplementedError, match="dropout"):
+        make_train_step(drop_model, optimizer, mesh, decay=1e-4)
+    with pytest.raises(NotImplementedError, match="dropout"):
+        make_shard_map_train_step(drop_model, optimizer, mesh, decay=1e-4)

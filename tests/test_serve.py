@@ -122,3 +122,18 @@ def test_retriever_rejects_out_of_range_ids(tiny_data):
         r.recommend([0, tiny_data.n_users], k=5)
     with pytest.raises(ValueError, match="out of range"):
         r.recommend([-1], k=5)
+
+
+def test_retriever_from_padded_data_is_canonical(tiny_data):
+    """A model built on mesh-padded data must export canonical
+    (real-size) tables, so artifacts don't depend on the training mesh."""
+    from gsrs_tpu.data.dataset import pad_nodes_to_multiple
+
+    padded = pad_nodes_to_multiple(tiny_data, 16)
+    assert padded.n_users > tiny_data.n_users or padded.m_items > tiny_data.m_items
+    model, params = _model_and_params(padded)
+    r = retriever_from_model(model, params, padded, batch_size=8)
+    assert r.n_users == tiny_data.n_users
+    assert r.m_items == tiny_data.m_items
+    items, _ = r.recommend([0, 1], k=5)
+    assert (items < tiny_data.m_items).all()

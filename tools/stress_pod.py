@@ -46,6 +46,7 @@ def memory_plan(
     model_axis: int,
     layers: int = 3,
     chip: str = "v5e",
+    topk: int = 20,
 ) -> dict:
     """Per-device byte budget + per-step collective volumes for the
     sharded LightGCN design (tables row-sharded over 'model', edges
@@ -64,15 +65,22 @@ def memory_plan(
     ell = edges * 2 * 12 * 1.25 / n_dev
     # eval score block: (eval_batch, m_items) fp32 sharded (data, model)
     scores = eval_batch * m_items * 4 / n_dev
+    # rejection-sampler membership bitset: (n_users, ceil(m/32)) uint32,
+    # REPLICATED per device — beyond bitset_sampler_max_GiB the run mode
+    # switches to plain uniform negatives (collision odds ~avg_degree/m)
+    sampler_bitset = n_users * ((m_items + 31) // 32) * 4
+    use_bitset = sampler_bitset <= 8 * 2**30
 
-    per_dev = tables + activations + ell + scores
+    per_dev = tables + activations + ell + scores + (
+        sampler_bitset if use_bitset else 0
+    )
     hbm = HBM_PER_CHIP[chip] * 2**30
 
     # collectives per train step
     batch_gather = 3 * batch * dim * 4  # all-to-all: triplet rows from remote shards
     mlp_psum = 0  # table grads stay sharded; only scalar loss + small MLPs psum
     # eval: local top-k (k per shard) then gather-merge over model axis
-    topk_merge = eval_batch * 64 * 8 * model_axis / n_dev
+    topk_merge = eval_batch * topk * 8 * model_axis / n_dev
 
     min_model_axis = math.ceil((tables + activations) * model_axis / (hbm * 0.8))
     return {
@@ -84,8 +92,12 @@ def memory_plan(
             "propagation_activations": round(activations / 2**30, 3),
             "ell_edges": round(ell / 2**30, 3),
             "eval_scores": round(scores / 2**30, 3),
+            "sampler_bitset": round(
+                (sampler_bitset if use_bitset else 0) / 2**30, 3
+            ),
             "total": round(per_dev / 2**30, 3),
         },
+        "bitset_sampler": use_bitset,
         "per_step_collectives_MiB": {
             "batch_all_to_all": round(batch_gather / 2**20, 3),
             "grad_psum": round(mlp_psum / 2**20, 3),
@@ -157,7 +169,7 @@ def main() -> None:
     plan = memory_plan(
         args.n_users, args.m_items, args.dim, args.avg_degree,
         args.batch, args.eval_batch, args.data_axis, args.model_axis,
-        layers=args.layers, chip=args.chip,
+        layers=args.layers, chip=args.chip, topk=args.topk,
     )
     print(json.dumps(plan, indent=2))
     if args.plan_only:
@@ -204,9 +216,25 @@ def main() -> None:
     params = sh.place_params(model.init_params(jax.random.key(0)))
     opt_state = optimizer.init(params)
     step = make_train_step(model, optimizer, mesh, decay=1e-4)(params, opt_state)
-    sampler = make_sampler_state(data)
 
-    users, pos, neg = sample_triplets(jax.random.key(1), sampler, args.batch)
+    bitset_bytes = data.n_users * ((data.m_items + 31) // 32) * 4
+    if bitset_bytes <= 8 * 2**30:
+        sampler = make_sampler_state(data)
+        users, pos, neg = sample_triplets(jax.random.key(1), sampler, args.batch)
+    else:
+        # membership bitset would need TBs at pod catalog scale — use plain
+        # uniform negatives (collision probability ~ avg_degree / m_items)
+        print(
+            f"# sampler bitset would need {bitset_bytes / 2**30:.0f} GiB; "
+            f"using uniform negatives"
+        )
+        rng = np.random.default_rng(1)
+        pick = rng.integers(0, data.train_size, args.batch)
+        users = jnp.asarray(data.train_users[pick].astype(np.int32))
+        pos = jnp.asarray(data.train_items[pick].astype(np.int32))
+        neg = jnp.asarray(
+            rng.integers(0, data.m_items, args.batch).astype(np.int32)
+        )
     bs = sh.batch_spec()
     users, pos, neg = (jax.device_put(x, bs) for x in (users, pos, neg))
     params, opt_state, loss = step(params, opt_state, model.graph, model.ell, users, pos, neg)
@@ -237,6 +265,7 @@ def main() -> None:
     rows = build_bitset(
         remap[data.train_users[sel]], data.train_items[sel],
         args.eval_batch, data.m_items,
+        real_m_items=data.real_m_items,  # mask phantom padded catalog ids
     )
     eval_users = jax.device_put(eval_user_ids.astype(np.int32), bs)
     train_rows = jax.device_put(rows, bs)
