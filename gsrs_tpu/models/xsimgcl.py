@@ -31,7 +31,7 @@ from gsrs_tpu.data.adjacency import BipartiteGraph
 from gsrs_tpu.models.lightgcn import LightGCN, Params
 from gsrs_tpu.ops.ell import ell_propagate_layer
 from gsrs_tpu.ops.linalg import l2_normalize
-from gsrs_tpu.ops.spmm import propagate_layer, spmm_edges
+from gsrs_tpu.ops.spmm import edge_keep_mask, propagate_layer, spmm_edges
 
 
 def info_nce(z1: jax.Array, z2: jax.Array, temp: float) -> jax.Array:
@@ -104,8 +104,6 @@ class XSimGCL(LightGCN):
 
         keep = masks = None
         if noise_key is not None and cfg.dropout:
-            from gsrs_tpu.ops.spmm import edge_keep_mask
-
             keep = edge_keep_mask(
                 jax.random.fold_in(noise_key, -1), graph, cfg.keep_prob,
                 dtype=u.dtype,

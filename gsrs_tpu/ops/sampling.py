@@ -109,17 +109,20 @@ def sample_triplets_python(
     users = rng.integers(0, data.n_users, num_samples)
     rows = []
     net = data.user_item_net
+    # negatives draw over the REAL catalog: padded phantom ids
+    # (pad_nodes_to_multiple) correspond to no item
+    real_m = data.real_m_items or data.m_items
     for u in users:
         s, e = net.indptr[u], net.indptr[u + 1]
         if s == e:
             continue
         # a user whose positives cover the whole catalog has no valid
         # negative — skip instead of spinning in the rejection loop
-        if e - s >= data.m_items:
+        if e - s >= real_m:
             continue
         pos = net.indices[s + rng.integers(0, e - s)]
         while True:
-            neg = int(rng.integers(0, data.m_items))
+            neg = int(rng.integers(0, real_m))
             if not np.any(net.indices[s:e] == neg):
                 break
         rows.append((u, pos, neg))
@@ -143,7 +146,8 @@ def sample_triplets_host(
         net = data.user_item_net
         return native.sample_negative(
             data.n_users,
-            data.m_items,
+            # real catalog only: padded phantom ids are not valid negatives
+            data.real_m_items or data.m_items,
             num_samples,
             net.indptr,
             net.indices,

@@ -37,8 +37,13 @@ def distributed_init() -> None:
         try:
             jax.distributed.initialize()
         except RuntimeError as e:
-            # already initialized (repeat call) — fine
-            print(f"[mesh] jax.distributed.initialize skipped: {e}")
+            # tolerate ONLY the repeat-call case; a genuine init failure
+            # must not degrade into N independent single-host trainings
+            # (the exact split-brain this function exists to prevent)
+            if "already initialized" in str(e).lower():
+                print(f"[mesh] jax.distributed already initialized: {e}")
+            else:
+                raise
 
 
 def make_mesh(

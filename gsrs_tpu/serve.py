@@ -158,11 +158,15 @@ def export_embeddings(retriever: Retriever, path: str) -> None:
 
 
 def load_retriever(path: str, batch_size: int = 256, mesh=None) -> Retriever:
+    # mesh path: keep host arrays so the ONLY device transfer is the final
+    # sharded device_put in __post_init__ (uploading first would round-trip
+    # the full tables device→host→device)
+    conv = np.asarray if mesh is not None else jnp.asarray
     with np.load(path) as z:
         return Retriever(
-            jnp.asarray(z["user_emb"]),
-            jnp.asarray(z["item_emb"]),
-            jnp.asarray(z["seen_bitset"]),
+            conv(z["user_emb"]),
+            conv(z["item_emb"]),
+            conv(z["seen_bitset"]),
             batch_size=batch_size,
             mesh=mesh,
         )

@@ -79,18 +79,35 @@ class CheckpointManager:
         then <dir>/last, then the legacy-named checkpoint. An explicitly
         requested path that does not exist is an ERROR, not a silent
         fallthrough — resuming from a different checkpoint than the one
-        the user named would be easy to miss in logs."""
+        the user named would be easy to miss in logs (for
+        resume-if-exists automation, pass --resume without --resume_path).
+        A checkpoint stranded mid-swap by a crash (only .tmp/.old present)
+        is recovered here before the existence check."""
         if resume_path:
-            if os.path.isdir(resume_path):
+            if os.path.isdir(self._recover(resume_path)):
                 return resume_path
             raise FileNotFoundError(
                 f"--resume_path {resume_path!r} does not exist (refusing to "
-                f"silently fall back to {os.path.join(self.dir, 'last')})"
+                f"silently fall back to {os.path.join(self.dir, 'last')}; "
+                f"use --resume without --resume_path for resume-if-exists)"
             )
         candidates = [os.path.join(self.dir, "last")]
         if legacy:
             candidates.append(os.path.join(self.dir, legacy))
         for c in candidates:
-            if os.path.isdir(c):
+            if os.path.isdir(self._recover(c)):
                 return c
         return None
+
+    @staticmethod
+    def _recover(path: str) -> str:
+        """Promote a complete .tmp (newest) or .old sibling left by a
+        crash between _save's two renames, so the swap discipline truly
+        never loses a checkpoint. Returns ``path`` (recovered or not)."""
+        if not os.path.isdir(path):
+            for sib in (path + ".tmp", path + ".old"):
+                if os.path.isdir(sib):
+                    os.rename(sib, path)
+                    print(f"[checkpoint] recovered {path} from {sib}")
+                    break
+        return path

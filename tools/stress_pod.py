@@ -35,6 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HBM_PER_CHIP = {"v5e": 16, "v5p": 95, "v4": 32, "v6e": 32}  # GiB
 
 
+# membership-bitset sampler cutoff: past this the run mode (and the
+# plan) switch to plain uniform negatives
+BITSET_SAMPLER_MAX_BYTES = 8 * 2**30
+
+
 def memory_plan(
     n_users: int,
     m_items: int,
@@ -69,7 +74,7 @@ def memory_plan(
     # REPLICATED per device — beyond bitset_sampler_max_GiB the run mode
     # switches to plain uniform negatives (collision odds ~avg_degree/m)
     sampler_bitset = n_users * ((m_items + 31) // 32) * 4
-    use_bitset = sampler_bitset <= 8 * 2**30
+    use_bitset = sampler_bitset <= BITSET_SAMPLER_MAX_BYTES
 
     per_dev = tables + activations + ell + scores + (
         sampler_bitset if use_bitset else 0
@@ -218,7 +223,7 @@ def main() -> None:
     step = make_train_step(model, optimizer, mesh, decay=1e-4)(params, opt_state)
 
     bitset_bytes = data.n_users * ((data.m_items + 31) // 32) * 4
-    if bitset_bytes <= 8 * 2**30:
+    if bitset_bytes <= BITSET_SAMPLER_MAX_BYTES:
         sampler = make_sampler_state(data)
         users, pos, neg = sample_triplets(jax.random.key(1), sampler, args.batch)
     else:
