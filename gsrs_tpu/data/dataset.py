@@ -182,6 +182,42 @@ def write_interaction_file(
             f.write(f"{u} " + " ".join(str(i) for i in its) + "\n")
 
 
+def write_dataset_dir(out_dir, train_rows, test_rows):
+    """Emit a dataset directory from per-user (org_user_id, [org_item_id…])
+    rows: train.txt/test.txt with dense remapped ids (item order within a
+    row preserved — the sequential family relies on temporal order) plus
+    the reference's user_list.txt/item_list.txt 'org_id remap_id' mapping
+    files (reference data/*/user_list.txt). → (n_users, m_items).
+
+    Shared by the MovieLens and Instacart converters so the artifact
+    contract lives in one place."""
+    import os
+
+    user_ids = sorted(u for u, _ in train_rows)
+    item_ids = sorted(
+        {i for _, its in train_rows for i in its}
+        | {i for _, its in test_rows for i in its}
+    )
+    u_map = {org: k for k, org in enumerate(user_ids)}
+    i_map = {org: k for k, org in enumerate(item_ids)}
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, rows in (("train.txt", train_rows), ("test.txt", test_rows)):
+        with open(os.path.join(out_dir, name), "w") as f:
+            for org_u, its in rows:
+                f.write(
+                    f"{u_map[org_u]} "
+                    + " ".join(str(i_map[i]) for i in its)
+                    + "\n"
+                )
+    for name, mapping in (("user_list.txt", u_map), ("item_list.txt", i_map)):
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write("org_id remap_id\n")
+            for org, k in mapping.items():
+                f.write(f"{org} {k}\n")
+    return len(user_ids), len(item_ids)
+
+
 # ------------------------------------------------------------------ loaders
 
 

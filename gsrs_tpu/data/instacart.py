@@ -82,34 +82,10 @@ def prepare_instacart(
         train_rows.append((int(org_u), train_items))
         test_rows.append((int(org_u), test_items))
 
-    user_ids = sorted(u for u, _ in train_rows)
-    item_ids = sorted(
-        {i for _, its in train_rows for i in its}
-        | {i for _, its in test_rows for i in its}
-    )
-    u_map = {org: k for k, org in enumerate(user_ids)}
-    i_map = {org: k for k, org in enumerate(item_ids)}
+    from gsrs_tpu.data.dataset import write_dataset_dir
 
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "train.txt"), "w") as f:
-        for org_u, its in train_rows:
-            f.write(
-                f"{u_map[org_u]} " + " ".join(str(i_map[i]) for i in its) + "\n"
-            )
-    with open(os.path.join(out_dir, "test.txt"), "w") as f:
-        for org_u, its in test_rows:
-            f.write(
-                f"{u_map[org_u]} " + " ".join(str(i_map[i]) for i in its) + "\n"
-            )
-    with open(os.path.join(out_dir, "user_list.txt"), "w") as f:
-        f.write("org_id remap_id\n")
-        for org, k in u_map.items():
-            f.write(f"{org} {k}\n")
-    with open(os.path.join(out_dir, "item_list.txt"), "w") as f:
-        f.write("org_id remap_id\n")
-        for org, k in i_map.items():
-            f.write(f"{org} {k}\n")
-    return len(user_ids), len(item_ids)
+    return write_dataset_dir(out_dir, train_rows, test_rows)
+
 
 
 def main(argv=None) -> None:

@@ -40,29 +40,32 @@ def _parse_ratings(path: str) -> np.ndarray:
         sep = ","
         skip = 1 if any(c.isalpha() for c in first) else 0
 
-    users: List[int] = []
-    items: List[int] = []
-    ratings: List[float] = []
-    ts: List[int] = []
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
-        for lineno, line in enumerate(f):
-            if lineno < skip:
-                continue
-            line = line.strip()
-            if not line:
-                continue
-            parts = line.split(sep)
-            if len(parts) < 3:
-                continue
-            users.append(int(parts[0]))
-            items.append(int(parts[1]))
-            ratings.append(float(parts[2]))
-            ts.append(int(float(parts[3])) if len(parts) > 3 else 0)
+    # vectorized parse: ML-25M is 25M rows — a per-line Python loop takes
+    # minutes and GBs of list overhead; pandas reads it in seconds
+    import pandas as pd
+
+    kwargs = dict(
+        sep=sep,
+        skiprows=skip,
+        header=None,
+        engine="python" if sep == "::" else "c",
+        on_bad_lines="skip",
+    )
+    try:  # every official ML format has 4 columns; tolerate 3 (no ts)
+        df = pd.read_csv(
+            path, usecols=[0, 1, 2, 3], names=["u", "i", "r", "t"], **kwargs
+        )
+    except ValueError:
+        df = pd.read_csv(
+            path, usecols=[0, 1, 2], names=["u", "i", "r"], **kwargs
+        )
+    df = df.dropna(subset=["u", "i", "r"])
+    ts = df["t"].fillna(0).astype(np.float64) if "t" in df else 0
     return np.stack(
         [
-            np.asarray(users, dtype=np.int64),
-            np.asarray(items, dtype=np.int64),
-            np.asarray(np.asarray(ratings) * 1000, dtype=np.int64),  # milli-stars
+            df["u"].astype(np.int64).to_numpy(),
+            df["i"].astype(np.int64).to_numpy(),
+            (df["r"].astype(np.float64) * 1000).astype(np.int64).to_numpy(),  # milli-stars
             np.asarray(ts, dtype=np.int64),
         ],
         axis=1,
@@ -108,30 +111,10 @@ def prepare_movielens(
     if not train_rows:
         raise ValueError("no users survive the min_interactions filter")
 
-    user_ids = sorted(u for u, _ in train_rows)
-    item_ids = sorted(
-        {i for _, its in train_rows for i in its}
-        | {i for _, its in test_rows for i in its}
-    )
-    u_map: Dict[int, int] = {org: k for k, org in enumerate(user_ids)}
-    i_map: Dict[int, int] = {org: k for k, org in enumerate(item_ids)}
+    from gsrs_tpu.data.dataset import write_dataset_dir
 
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "train.txt"), "w") as f:
-        for org_u, its in train_rows:
-            f.write(f"{u_map[org_u]} " + " ".join(str(i_map[i]) for i in its) + "\n")
-    with open(os.path.join(out_dir, "test.txt"), "w") as f:
-        for org_u, its in test_rows:
-            f.write(f"{u_map[org_u]} " + " ".join(str(i_map[i]) for i in its) + "\n")
-    with open(os.path.join(out_dir, "user_list.txt"), "w") as f:
-        f.write("org_id remap_id\n")
-        for org, k in u_map.items():
-            f.write(f"{org} {k}\n")
-    with open(os.path.join(out_dir, "item_list.txt"), "w") as f:
-        f.write("org_id remap_id\n")
-        for org, k in i_map.items():
-            f.write(f"{org} {k}\n")
-    return len(user_ids), len(item_ids)
+    return write_dataset_dir(out_dir, train_rows, test_rows)
+
 
 
 def main(argv=None) -> None:

@@ -64,6 +64,11 @@ def main():
             continue
         # prefer pure data-parallel growth; model axis joins at >=4 devices
         model_axis = 2 if n_dev >= 4 else 1
+        if n_dev % model_axis:
+            # an odd count would silently run a smaller mesh than the row
+            # reports (make_mesh takes devices[:data*model])
+            print(f"# skipping {n_dev} devices (not divisible by model_axis={model_axis})")
+            continue
         data_axis = n_dev // model_axis
         mesh = make_mesh(data_axis=data_axis, model_axis=model_axis)
         sh = GraphShardings(mesh)
@@ -92,8 +97,10 @@ def main():
         dt = (time.time() - t0) / args.steps
         rate = args.batch / dt
         if base_rate is None:
-            base_rate = rate
-        eff = rate / (base_rate * n_dev / args.devices[0])
+            # normalize by the first MEASURED config (requested entries
+            # may have been skipped above)
+            base_rate, base_dev = rate, n_dev
+        eff = rate / (base_rate * n_dev / base_dev)
         results.append(
             {
                 "devices": n_dev,

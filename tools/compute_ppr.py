@@ -54,6 +54,7 @@ def main():
     adj = sp.bmat(
         [[None, R], [R.T, None]], format="csr", dtype=np.float64
     )
+    assert adj.shape == (n + m, n + m), (adj.shape, n, m)
     W = compute_ppr_weights(adj, args.alpha, args.layers)
     np.save(args.out, W)
     print(f"wrote {args.out}: shape {W.shape}")

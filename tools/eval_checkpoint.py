@@ -87,8 +87,21 @@ def main() -> None:
             test_batch=args.testbatch, topks=topks_from_string(args.topks)
         ),
     )
-    model = build_model(cfg.model, graph, ell=ell_from_interactions(data))
+    i2i = None
+    if cfg.model.use_item_item and cfg.model.i2i_path:
+        # evaluating an i2i-trained checkpoint WITHOUT the i2i graph would
+        # silently score different embeddings than training produced
+        import scipy.sparse as sp
+
+        from gsrs_tpu.models.lightgcn import ItemItemGraph
+
+        i2i = ItemItemGraph.from_scipy(sp.load_npz(cfg.model.i2i_path))
+    model = build_model(
+        cfg.model, graph, i2i=i2i, ell=ell_from_interactions(data)
+    )
     trainer = Trainer(cfg, data, graph, model)
+    if trainer.ckpt.resolve_resume_path(None) is None:
+        raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
     state = trainer.maybe_resume(trainer.init_state())
     print(f"[eval] checkpoint epoch {state.epoch}")
     metrics = trainer.evaluate(state)

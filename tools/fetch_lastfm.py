@@ -28,11 +28,16 @@ def main() -> None:
     )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    missing = []
     for name in ("data1.txt", "test1.txt", "trustnetwork.txt"):
         src = os.path.join(args.ref_dir, name)
         if os.path.exists(src):
             shutil.copy(src, os.path.join(args.out, name))
             print(f"copied {name}")
+        else:
+            missing.append(src)
+    if missing:
+        raise SystemExit(f"missing source files: {missing}")
     print(f"staged lastfm at {args.out}")
 
 

@@ -68,15 +68,28 @@ def plot_gate_distribution(checkpoint_dir: str, dataset_dir: str, out: str) -> N
 
     data = load_dataset(dataset_dir)
     graph = build_graph(data, cache_dir=dataset_dir)
-    model = build_model(ModelConfig(use_pop_gate=True), graph)
-    import jax
+    # rebuild the model from the hyperparameters the trainer persisted —
+    # hardcoded defaults (layers=3, temp=1.0) would plot gates the
+    # deployed model never produces
+    import json
+    import os
 
-    params = model.init_params(jax.random.key(0))
+    meta_path = os.path.join(checkpoint_dir, "model_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            cfg = ModelConfig(**json.load(f))
+        if not cfg.use_pop_gate:
+            raise SystemExit(
+                f"{meta_path} says this checkpoint was trained without "
+                f"the pop gate — nothing to plot"
+            )
+    else:
+        cfg = ModelConfig(use_pop_gate=True)
+    model = build_model(cfg, graph)
     mgr = CheckpointManager(checkpoint_dir)
     path = mgr.resolve_resume_path(None)
     if path is None:
         raise SystemExit(f"no checkpoint found under {checkpoint_dir}")
-    # restore just the params subtree from the full training checkpoint
     import orbax.checkpoint as ocp
 
     full = ocp.StandardCheckpointer().restore(path)
