@@ -38,9 +38,19 @@ if os.environ.get("PALLAS_AXON_POOL_IPS"):
             except OSError:
                 target = ""
             # The original stdout/stderr are a pipe, tty, or a redirect to a
-            # regular file. Exclude /dev/null ("discarded on purpose") and
-            # pytest's own capture temp files (unlinked → "(deleted)").
-            ok = (
+            # regular file. Exclude /dev/null ("discarded on purpose"),
+            # pytest's own capture temp files (unlinked → "(deleted)"), and
+            # anything not opened writable (a read-only data file held by an
+            # imported library must never become stdout).
+            import fcntl
+
+            try:
+                writable = (
+                    fcntl.fcntl(fd, fcntl.F_GETFL) & os.O_ACCMODE
+                ) != os.O_RDONLY
+            except OSError:
+                writable = False
+            ok = writable and (
                 stat.S_ISFIFO(mode)
                 or (stat.S_ISCHR(mode) and not target.startswith("/dev/null"))
                 or (stat.S_ISREG(mode) and "(deleted)" not in target)

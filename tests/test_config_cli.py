@@ -120,15 +120,15 @@ def test_minibatch_and_shuffle():
     assert len(batches) == 3
     assert len(batches[-1][0]) == 2  # ragged tail kept (reference parity)
     sa, sb = shuffle(a, b, rng=np.random.default_rng(0))
-    np.testing.assert_array_equal(sb, sa * 2)
-    assert not np.array_equal(sa, a) or True  # permutation applied in unison
+    np.testing.assert_array_equal(sb, sa * 2)  # permuted in unison
+    assert not np.array_equal(sa, a)  # and actually permuted (seed 0 does)
+    np.testing.assert_array_equal(np.sort(sa), a)  # …losing no elements
 
 
 def test_compute_ppr_weights_rows_normalized(tiny_data):
     import scipy.sparse as sp
-    import sys, os
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from tools.compute_ppr import compute_ppr_weights
+
+    from tools.compute_ppr import compute_ppr_weights  # conftest adds repo root
 
     R = tiny_data.user_item_net
     adj = sp.bmat([[None, R], [R.T, None]], format="csr", dtype=np.float64)

@@ -25,6 +25,7 @@ def test_parse_tolerates_timestamp_tokens(tmp_path):
     p = tmp_path / "train.txt"
     p.write_text("0 5:123 7:456\n")
     u, i = parse_interaction_file(str(p))
+    np.testing.assert_array_equal(u, [0, 0])
     np.testing.assert_array_equal(i, [5, 7])
 
 

@@ -243,9 +243,10 @@ def test_stress_pod_plan_and_generator():
     assert data.train_users.size == 2500
     assert data.train_users.min() >= 0 and data.train_users.max() == 499
     assert data.train_items.min() >= 0 and data.train_items.max() < 200
-    # Zipf skew: item 0 (rank 1) should be among the most popular
+    # Zipf skew: the rank-1 item must dominate, not merely match the
+    # median (a uniform regression passes a >=median check half the time)
     counts = np.bincount(data.train_items, minlength=200)
-    assert counts[0] >= np.median(counts)
+    assert counts[0] >= 5 * max(np.median(counts), 1)
 
 
 @pytest.mark.parametrize(

@@ -109,17 +109,18 @@ def test_ell_edge_mask_consistency(tiny_data, rng):
 
 def test_ell_bucket_shapes_cover_all_edges(tiny_data):
     ell = _ell(tiny_data)
-    for side, n_rows in ((ell.by_user, tiny_data.n_users), (ell.by_item, tiny_data.m_items)):
-        total_w = sum(float(np.asarray(b.w).sum()) for b in side.buckets)
-        assert side.assemble.shape == (n_rows,)
     w = normalized_edge_weights(
         tiny_data.train_users,
         tiny_data.train_items,
         tiny_data.user_degrees,
         tiny_data.item_degrees,
     )
-    np.testing.assert_allclose(
-        sum(float(np.asarray(b.w).sum()) for b in ell.by_user.buckets),
-        w.sum(),
-        rtol=1e-5,
-    )
+    # BOTH directions must carry every edge exactly once (padding is
+    # zero-weight, so total weight is the invariant)
+    for side, n_rows in (
+        (ell.by_user, tiny_data.n_users),
+        (ell.by_item, tiny_data.m_items),
+    ):
+        assert side.assemble.shape == (n_rows,)
+        total_w = sum(float(np.asarray(b.w).sum()) for b in side.buckets)
+        np.testing.assert_allclose(total_w, w.sum(), rtol=1e-5)

@@ -41,6 +41,7 @@ def test_native_sample_negative_contract(native, tiny_data):
 
 
 def test_native_multi_negative(native, tiny_data):
+    native.seed(7)  # don't depend on RNG state leaked from earlier tests
     net = tiny_data.user_item_net
     S = native.sample_negative(
         tiny_data.n_users,
@@ -52,6 +53,7 @@ def test_native_multi_negative(native, tiny_data):
     )
     assert S.shape[1] == 6
     mask = _dense_mask(tiny_data)
+    assert mask[S[:, 0], S[:, 1]].all()  # column 1 is a true positive
     for j in range(2, 6):
         assert not mask[S[:, 0], S[:, j]].any()
 

@@ -53,7 +53,8 @@ def test_masked_scores_nothing_masked(rng):
 
 def test_masked_scores_word_padding(rng):
     """Catalog whose word count doesn't divide the block width."""
-    B, m, d = 8, 100, 8  # W = 4 words; block_m=128 -> wpb=4 (exact here)
+    B, m, d = 8, 100, 8  # W = 4 words; block_m=256 -> wpb=8, so the
+    # bitset pads 4 ragged words (all-ones) and item_emb pads 156 rows
     u = rng.standard_normal((B, d)).astype(np.float32)
     it = rng.standard_normal((m, d)).astype(np.float32)
     rows = np.zeros((B, (m + 31) // 32), np.uint32)

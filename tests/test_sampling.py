@@ -45,7 +45,21 @@ def test_device_sampler_uniformity(tiny_data):
     # chi-square-ish loose bound: all valid users within 40% of expected
     assert counts[valid].min() > expected * 0.6
     assert counts[valid].max() < expected * 1.4
-    assert counts[~valid].sum() == 0 if (~valid).any() else True
+
+
+def test_zero_degree_users_never_sampled():
+    """A user with no positives must never be emitted (conftest's random
+    data gives every user a positive, so build one explicitly)."""
+    from gsrs_tpu.data.dataset import InteractionData
+
+    users = np.array([0, 0, 2, 2, 3], dtype=np.int64)  # user 1 has none
+    items = np.array([0, 1, 2, 3, 4], dtype=np.int64)
+    data = InteractionData("z", 4, 5, users, items, {})
+    state = make_sampler_state(data)
+    drawn, _, _ = map(
+        np.asarray, sample_triplets(jax.random.key(0), state, 4096)
+    )
+    assert (np.bincount(drawn, minlength=4)[1] == 0)
 
 
 def test_positive_uniform_over_user_list(tiny_data):
