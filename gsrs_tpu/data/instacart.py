@@ -21,7 +21,6 @@ occurrence), so the same artifact also feeds the sequential family
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional, Tuple
 
 import numpy as np

@@ -22,8 +22,7 @@ interactions, ``split="leave_last"`` holds out exactly the last one.
 
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -31,7 +31,6 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gsrs_tpu.models._transformer import encode_transformer, init_encoder_params
 

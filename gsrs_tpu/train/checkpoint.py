@@ -18,9 +18,8 @@ import glob
 import os
 import re
 import shutil
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
-import numpy as np
 import orbax.checkpoint as ocp
 
 

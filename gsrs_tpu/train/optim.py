@@ -7,7 +7,7 @@ step-indexed (milestone epoch × steps-per-epoch)."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import optax
 

@@ -9,7 +9,6 @@ NDCG@k as usual)."""
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -18,7 +17,7 @@ import numpy as np
 import optax
 
 from gsrs_tpu.data.sequences import SequenceData
-from gsrs_tpu.models.sasrec import SASRec, SASRecConfig
+from gsrs_tpu.models.sasrec import SASRec
 from gsrs_tpu.ops.bitset import build_bitset
 from gsrs_tpu.ops.metrics import batch_metrics, topk_labels
 from gsrs_tpu.ops.topk import mask_train_positives, topk_scores

@@ -29,7 +29,7 @@ from gsrs_tpu.config import ExperimentConfig
 from gsrs_tpu.data.adjacency import BipartiteGraph
 from gsrs_tpu.data.dataset import InteractionData
 from gsrs_tpu.models.lightgcn import LightGCN, Params
-from gsrs_tpu.ops.sampling import SamplerState, make_sampler_state, sample_epoch
+from gsrs_tpu.ops.sampling import make_sampler_state, sample_epoch
 from gsrs_tpu.train.checkpoint import CheckpointManager, legacy_name
 from gsrs_tpu.train.evaluator import Evaluator
 from gsrs_tpu.train.logging import (

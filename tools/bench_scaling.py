@@ -34,7 +34,6 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from gsrs_tpu.config import ModelConfig, TrainConfig
     from gsrs_tpu.data.adjacency import build_graph

@@ -1,5 +1,5 @@
 """Drive: clustered synthetic data -> held-out items are predictable."""
-import numpy as np, jax, jax.numpy as jnp, optax, time
+import numpy as np, jax, jax.numpy as jnp, optax
 from gsrs_tpu.data.dataset import InteractionData
 from gsrs_tpu.data.adjacency import build_graph
 from gsrs_tpu.models.registry import build_model
