@@ -45,20 +45,33 @@ class Retriever:
     seen_bitset: jax.Array  # (n, ceil(m/32)) uint32 — items to exclude
     batch_size: int = 256
     mesh: Optional[object] = None
+    # int8 mode (export_embeddings quantize='int8'): tables are int8 and
+    # these hold the per-row dequantization scales
+    user_scale: Optional[jax.Array] = None
+    item_scale: Optional[jax.Array] = None
 
     def __post_init__(self):
         self._real_n = int(self.user_emb.shape[0])
         self._real_m = int(self.item_emb.shape[0])
+        table_dtype = np.asarray(self.user_emb[:0]).dtype
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             m_ax = int(self.mesh.shape["model"])
             n_pad = -(-self._real_n // m_ax) * m_ax
             m_pad = -(-self._real_m // m_ax) * m_ax
-            ue = np.zeros((n_pad, self.user_emb.shape[1]), np.float32)
+            ue = np.zeros((n_pad, self.user_emb.shape[1]), table_dtype)
             ue[: self._real_n] = np.asarray(self.user_emb)
-            ie = np.zeros((m_pad, self.item_emb.shape[1]), np.float32)
+            ie = np.zeros((m_pad, self.item_emb.shape[1]), table_dtype)
             ie[: self._real_m] = np.asarray(self.item_emb)
+            if self.user_scale is not None:
+                vec = NamedSharding(self.mesh, P("model"))
+                us = np.ones(n_pad, np.float32)
+                us[: self._real_n] = np.asarray(self.user_scale)
+                si = np.ones(m_pad, np.float32)
+                si[: self._real_m] = np.asarray(self.item_scale)
+                self.user_scale = jax.device_put(jnp.asarray(us), vec)
+                self.item_scale = jax.device_put(jnp.asarray(si), vec)
             # widen the bitset to the padded catalog and set every phantom
             # column in every row, so zero-embedding pad items can never
             # outrank real ones in top-k
@@ -79,10 +92,35 @@ class Retriever:
         # one jitted program per request: gathers + scoring + masked top-k
         # (gathering outside jit would cost two extra device dispatches per
         # chunk — expensive through a remote-device tunnel or across shards)
-        def _serve(user_emb, item_emb, seen, ids, k):
-            return masked_topk(user_emb[ids], item_emb, seen[ids], k)
+        if self.user_scale is None:
 
-        self._fn = jax.jit(_serve, static_argnames=("k",))
+            def _serve(user_emb, item_emb, seen, ids, k):
+                return masked_topk(user_emb[ids], item_emb, seen[ids], k)
+
+            self._fn = jax.jit(_serve, static_argnames=("k",))
+        else:
+            from gsrs_tpu.ops.topk import mask_train_positives, topk_scores
+
+            user_scale, item_scale = self.user_scale, self.item_scale
+
+            def _serve_q(user_q, item_q, seen, ids, k):
+                # int8×int8→int32 on the MXU, then the rank-1 scale
+                # correction: scores == (su·u_q) @ (si·i_q)^T exactly
+                raw = jax.lax.dot_general(
+                    user_q[ids],
+                    item_q,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                scores = (
+                    raw.astype(jnp.float32)
+                    * user_scale[ids][:, None]
+                    * item_scale[None, :]
+                )
+                scores = mask_train_positives(scores, seen[ids], item_q.shape[0])
+                return topk_scores(scores, k)
+
+            self._fn = jax.jit(_serve_q, static_argnames=("k",))
 
     @property
     def n_users(self) -> int:
@@ -147,8 +185,36 @@ def retriever_from_model(
     return Retriever(all_users, items, seen, batch_size=batch_size, mesh=mesh)
 
 
-def export_embeddings(retriever: Retriever, path: str) -> None:
-    """Persist the serving artifact (post-propagation tables + bitset)."""
+def export_embeddings(
+    retriever: Retriever, path: str, quantize: Optional[str] = None
+) -> None:
+    """Persist the serving artifact (post-propagation tables + bitset).
+
+    ``quantize='int8'``: symmetric per-row absmax quantization of both
+    tables — the artifact and the in-HBM tables shrink 4×, and scoring
+    runs as an int8×int8→int32 matmul on the MXU with the rank-1 scale
+    correction applied afterwards (scores are exactly
+    (su·u_q) @ (si·i_q)^T, so ranking error comes only from the rounding
+    of each row to 8 bits)."""
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+    if quantize == "int8":
+        arrays = {}
+        for name, table in (
+            ("user_emb", retriever.user_emb),
+            ("item_emb", retriever.item_emb),
+        ):
+            t = np.asarray(table, np.float32)
+            scale = np.abs(t).max(axis=1, keepdims=True) / 127.0
+            scale = np.where(scale > 0, scale, 1.0)
+            arrays[name + "_q"] = np.clip(
+                np.rint(t / scale), -127, 127
+            ).astype(np.int8)
+            arrays[name + "_scale"] = scale.astype(np.float32)[:, 0]
+        np.savez_compressed(
+            path, seen_bitset=np.asarray(retriever.seen_bitset), **arrays
+        )
+        return
     np.savez_compressed(
         path,
         user_emb=np.asarray(retriever.user_emb, np.float32),
@@ -163,6 +229,16 @@ def load_retriever(path: str, batch_size: int = 256, mesh=None) -> Retriever:
     # the full tables device→host→device)
     conv = np.asarray if mesh is not None else jnp.asarray
     with np.load(path) as z:
+        if "user_emb_q" in z.files:  # int8-quantized artifact
+            return Retriever(
+                conv(z["user_emb_q"]),
+                conv(z["item_emb_q"]),
+                conv(z["seen_bitset"]),
+                batch_size=batch_size,
+                mesh=mesh,
+                user_scale=conv(z["user_emb_scale"]),
+                item_scale=conv(z["item_emb_scale"]),
+            )
         return Retriever(
             conv(z["user_emb"]),
             conv(z["item_emb"]),
@@ -192,6 +268,11 @@ def main(argv: Optional[list] = None) -> None:
         "sizes)",
     )
     exp.add_argument("--model", default="lgn")
+    exp.add_argument(
+        "--quantize", choices=["int8"], default=None,
+        help="int8 per-row quantized artifact: 4x smaller tables, MXU "
+        "int8 scoring at serve time",
+    )
     exp.add_argument("--layer", type=int, default=3)
     exp.add_argument("--recdim", type=int, default=64)
     exp.add_argument("--bf16", action="store_true")
@@ -292,8 +373,12 @@ def main(argv: Optional[list] = None) -> None:
             },
         )
         r = retriever_from_model(model, restored["params"], data)
-        export_embeddings(r, args.out)
-        print(f"[serve] exported {args.out}: {r.n_users} users × {r.m_items} items")
+        export_embeddings(r, args.out, quantize=args.quantize)
+        q = f" ({args.quantize})" if args.quantize else ""
+        print(
+            f"[serve] exported {args.out}: {r.n_users} users × "
+            f"{r.m_items} items{q}"
+        )
     else:
         mesh = None
         if args.model_axis > 1:

@@ -137,3 +137,59 @@ def test_retriever_from_padded_data_is_canonical(tiny_data):
     assert r.m_items == tiny_data.m_items
     items, _ = r.recommend([0, 1], k=5)
     assert (items < tiny_data.m_items).all()
+
+
+def test_int8_quantized_artifact(tmp_path, tiny_data):
+    """int8 export: 4x smaller tables, rankings near-identical to fp32
+    (error bounded by per-row 8-bit rounding)."""
+    import os
+
+    from gsrs_tpu.serve import export_embeddings, load_retriever
+
+    model, params = _model_and_params(tiny_data)
+    r = retriever_from_model(model, params, tiny_data, batch_size=16)
+    fp, q8 = os.path.join(tmp_path, "fp.npz"), os.path.join(tmp_path, "q8.npz")
+    export_embeddings(r, fp)
+    export_embeddings(r, q8, quantize="int8")
+
+    rf = load_retriever(fp)
+    rq = load_retriever(q8)
+    assert np.asarray(rq.user_emb).dtype == np.int8
+    users = list(range(0, tiny_data.n_users, 3))
+    items_f, scores_f = rf.recommend(users, k=10)
+    items_q, scores_q = rq.recommend(users, k=10)
+    # seen-item exclusion still holds under quantization
+    net = np.zeros((tiny_data.n_users, tiny_data.m_items), bool)
+    net[tiny_data.train_users, tiny_data.train_items] = True
+    for u, row in zip(users, items_q):
+        assert not net[u, row].any()
+    # top-10 sets overlap strongly and scores agree to quant tolerance
+    overlap = np.mean(
+        [len(set(a) & set(b)) / 10.0 for a, b in zip(items_f, items_q)]
+    )
+    assert overlap >= 0.8, f"top-10 overlap {overlap}"
+    np.testing.assert_allclose(scores_q, scores_f, atol=0.05, rtol=0.05)
+
+
+def test_int8_quantized_sharded_matches(tmp_path, tiny_data):
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import os
+
+    from gsrs_tpu.parallel.mesh import make_mesh
+    from gsrs_tpu.serve import export_embeddings, load_retriever
+
+    model, params = _model_and_params(tiny_data)
+    r = retriever_from_model(model, params, tiny_data, batch_size=16)
+    q8 = os.path.join(tmp_path, "q8.npz")
+    export_embeddings(r, q8, quantize="int8")
+    base = load_retriever(q8)
+    sharded = load_retriever(q8, mesh=make_mesh(data_axis=2, model_axis=4))
+    users = list(range(0, tiny_data.n_users, 5))
+    items_a, scores_a = base.recommend(users, k=8)
+    items_b, scores_b = sharded.recommend(users, k=8)
+    np.testing.assert_array_equal(items_a, items_b)
+    np.testing.assert_allclose(scores_a, scores_b, rtol=1e-5)
