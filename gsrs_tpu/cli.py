@@ -60,7 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load", type=int, default=0)
     p.add_argument("--pretrain", type=int, default=0)
     p.add_argument("--seed", type=int, default=2020)
-    p.add_argument("--model", type=str, default="lgn", choices=["lgn", "mf", "ngcf", "xsimgcl"])
+    p.add_argument(
+        "--model",
+        type=str,
+        default="lgn",
+        choices=["lgn", "mf", "ngcf", "xsimgcl", "ultragcn"],
+    )
     p.add_argument("--multicore", type=int, default=0)
     # PPR (accepted for parity; ignored by the live model, as in the
     # reference — code/parse.py:69-74 vs code/model.py:222)
@@ -91,6 +96,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cl_temp", type=float, default=0.2)
     p.add_argument("--cl_eps", type=float, default=0.2)
     p.add_argument("--cl_layer", type=int, default=1)
+    # UltraGCN flags (model=ultragcn; no reference counterpart)
+    p.add_argument("--ug_neg_num", type=int, default=1500)
+    p.add_argument("--ug_neg_weight", type=float, default=300.0)
+    p.add_argument("--ug_w1", type=float, default=1e-6)
+    p.add_argument("--ug_w2", type=float, default=1.0)
+    p.add_argument("--ug_w3", type=float, default=1e-6)
+    p.add_argument("--ug_w4", type=float, default=1.0)
+    p.add_argument("--ug_lambda", type=float, default=2.75)
+    p.add_argument("--ug_ii_k", type=int, default=10)
+    p.add_argument("--ug_init_std", type=float, default=1e-4)
+    p.add_argument(
+        "--ug_neg_sharing",
+        type=str,
+        default="none",
+        choices=["none", "batch"],
+        help="negative sampling: per-example (paper) or one shared set per batch (MXU matmul)",
+    )
     # TPU-native additions (no reference counterpart)
     p.add_argument("--bf16", action="store_true", help="bf16 propagation/scoring")
     p.add_argument(
@@ -156,6 +178,16 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             cl_temp=args.cl_temp,
             cl_eps=args.cl_eps,
             cl_layer=args.cl_layer,
+            ug_neg_num=args.ug_neg_num,
+            ug_neg_weight=args.ug_neg_weight,
+            ug_w1=args.ug_w1,
+            ug_w2=args.ug_w2,
+            ug_w3=args.ug_w3,
+            ug_w4=args.ug_w4,
+            ug_lambda=args.ug_lambda,
+            ug_ii_k=args.ug_ii_k,
+            ug_init_std=args.ug_init_std,
+            ug_neg_sharing=args.ug_neg_sharing,
             bf16_compute=args.bf16,
             spmm_mode=args.spmm,
         ),
@@ -257,11 +289,13 @@ def main(argv: Optional[list] = None) -> None:
         except Exception as e:  # tolerate like reference code/model.py:107-109
             print(f"[i2i] WARNING: cannot load {cfg.model.i2i_path}: {e}")
     ell = None
-    if cfg.model.spmm_mode == "ell":
+    if cfg.model.spmm_mode == "ell" and cfg.model.model != "ultragcn":
         from gsrs_tpu.ops.ell import ell_from_interactions
 
         ell = ell_from_interactions(data)
-    model = build_model(cfg.model, graph, i2i, ell)
+    model = build_model(
+        cfg.model, graph, i2i, ell, cache_dir=cfg.data.dataset_dir
+    )
     trainer = Trainer(cfg, data, graph, model)
     if args.epoch_samples:
         trainer.epoch_samples = args.epoch_samples

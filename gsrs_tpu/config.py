@@ -100,6 +100,25 @@ class ModelConfig:
     cl_eps: float = 0.2  # per-layer noise magnitude
     cl_layer: int = 1  # which layer provides the second view
 
+    # UltraGCN settings (model='ultragcn' only; no reference counterpart —
+    # a beyond-reference graph model, Mao et al. CIKM'21). Training uses NO
+    # propagation: the graph enters only through precomputed constraint
+    # weights, so every step is embedding gathers + MXU dots. Defaults are
+    # the paper's Gowalla operating point.
+    ug_neg_num: int = 1500  # negatives per positive pair
+    ug_neg_weight: float = 300.0  # negative-loss weight (paper's w_neg)
+    ug_w1: float = 1e-6  # positive loss: w1 + w2·β_ui
+    ug_w2: float = 1.0
+    ug_w3: float = 1e-6  # negative loss: w3 + w4·β_uj
+    ug_w4: float = 1.0
+    ug_lambda: float = 2.75  # item-item constraint loss coefficient
+    ug_ii_k: int = 10  # neighbors kept per item in the i-i constraint
+    ug_init_std: float = 1e-4  # embedding init std (paper: 1e-4)
+    # 'none' = per-example negatives (the paper's objective);
+    # 'batch' = one shared negative set per batch (fewer gathers/scatters,
+    # slightly correlated negatives).
+    ug_neg_sharing: str = "none"
+
     # Numerics: embeddings/optimizer state in fp32; propagation and scoring
     # matmuls may run in bf16 on the MXU when True.
     bf16_compute: bool = False

@@ -13,6 +13,7 @@ from gsrs_tpu.data.adjacency import BipartiteGraph
 from gsrs_tpu.models.lightgcn import ItemItemGraph, LightGCN
 from gsrs_tpu.models.mf import PureMF
 from gsrs_tpu.models.ngcf import NGCF
+from gsrs_tpu.models.ultragcn import UltraGCN
 from gsrs_tpu.models.xsimgcl import XSimGCL
 from gsrs_tpu.ops.ell import EllGraph
 
@@ -21,6 +22,7 @@ MODELS = {
     "mf": PureMF,
     "ngcf": NGCF,
     "xsimgcl": XSimGCL,
+    "ultragcn": UltraGCN,
 }
 
 
@@ -29,12 +31,17 @@ def build_model(
     graph: BipartiteGraph,
     i2i: Optional[ItemItemGraph] = None,
     ell: Optional[EllGraph] = None,
+    cache_dir: Optional[str] = None,
 ) -> LightGCN:
+    """``cache_dir`` (usually the dataset dir) lets models with heavy
+    host-side precompute (UltraGCN's item–item top-K) cache it on disk."""
     if cfg.model not in MODELS:
         raise ValueError(
             f"model '{cfg.model}' is not registered; available: "
             f"{sorted(MODELS)} (cf. reference code/register.py:50-55)"
         )
+    if cfg.model == "ultragcn":
+        return UltraGCN(cfg, graph, i2i, ell, ii_cache_dir=cache_dir)
     return MODELS[cfg.model](cfg, graph, i2i, ell)
 
 

@@ -100,6 +100,26 @@ def sample_triplets(
     return users, positives, negatives
 
 
+@partial(jax.jit, static_argnames=("num_samples",))
+def sample_pairs_by_edge(
+    key: jax.Array, state: SamplerState, num_samples: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Draw (user, pos) pairs uniformly over *interactions* (edges), not
+    users — each epoch visits positives proportional to user degree, the
+    convention of models trained per-interaction (UltraGCN's objective
+    weights assume it; BPR's reference sampler is user-uniform instead).
+    Rejection-free: edge index → user via one vectorized binary search
+    over the CSR offsets."""
+    e = jax.random.randint(
+        key, (num_samples,), 0, state.pos_items.shape[0], dtype=jnp.int32
+    )
+    users = (
+        jnp.searchsorted(state.pos_indptr, e, side="right").astype(jnp.int32)
+        - 1
+    )
+    return users, state.pos_items[e]
+
+
 def sample_triplets_python(
     rng: np.random.Generator, data: InteractionData, num_samples: int
 ) -> np.ndarray:
@@ -159,15 +179,27 @@ def sample_triplets_host(
 
 
 def sample_epoch(
-    key: jax.Array, state: SamplerState, epoch_size: int, batch_size: int
+    key: jax.Array,
+    state: SamplerState,
+    epoch_size: int,
+    batch_size: int,
+    by_edge: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sample a whole epoch of triplets, rounded up to full batches and
     reshaped (num_batches, batch_size). The reference shuffles and yields a
     ragged tail batch (code/utils.py:135-151) which forces shape-varying
     steps; we round up instead — every batch is full and identically
-    shaped, so one compiled step serves the whole run."""
+    shaped, so one compiled step serves the whole run.
+
+    ``by_edge=True`` draws (user, pos) uniformly over interactions (see
+    sample_pairs_by_edge) and fills the negative slot with the positive —
+    for models that draw their own negatives in-loss (UltraGCN)."""
     num_batches = -(-epoch_size // batch_size)
     total = num_batches * batch_size
-    u, p, n = sample_triplets(key, state, total)
+    if by_edge:
+        u, p = sample_pairs_by_edge(key, state, total)
+        n = p
+    else:
+        u, p, n = sample_triplets(key, state, total)
     shape = (num_batches, batch_size)
     return u.reshape(shape), p.reshape(shape), n.reshape(shape)

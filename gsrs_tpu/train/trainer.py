@@ -207,7 +207,13 @@ class Trainer:
                 k_drop, chunk_i
             )
             users_b, pos_b, neg_b = _place(
-                sample_epoch(kc, self.sampler_state, n * B, B)
+                sample_epoch(
+                    kc,
+                    self.sampler_state,
+                    n * B,
+                    B,
+                    by_edge=getattr(self.model, "samples_pairs_by_edge", False),
+                )
             )
             drop_keys = jax.random.split(kd, n)
             params, opt_state, mean_loss = self._epoch_fn(
@@ -328,8 +334,11 @@ class Trainer:
 
         try:
             while state.epoch < epochs:
+                # eval_every <= 0 = no in-loop eval (the final eval after
+                # the last epoch still runs); reference hardcodes 10
                 if (
                     self.evaluator is not None
+                    and t_cfg.eval_every > 0
                     and state.epoch % t_cfg.eval_every == 0
                 ):
                     last_eval_epoch = state.epoch

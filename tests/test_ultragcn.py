@@ -1,0 +1,196 @@
+"""UltraGCN tests: constraint-weight math vs a dense numpy oracle, the
+loss contract (needs a key, both negative-sharing modes), end-to-end tiny
+training above chance, and the disk cache for the item–item top-K."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsrs_tpu.config import (
+    EvalConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from gsrs_tpu.data.adjacency import build_graph
+from gsrs_tpu.data.synthetic import clustered
+from gsrs_tpu.models.ultragcn import UltraGCN, build_ii_constraint, real_edges
+from gsrs_tpu.train.trainer import Trainer
+
+
+def _cfg(**kw):
+    return ModelConfig(model="ultragcn", embedding_dim=8, **kw)
+
+
+def test_real_edges_strips_padding(tiny_data):
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    u, i = real_edges(g)
+    got = set(zip(u.tolist(), i.tolist()))
+    want = set(zip(tiny_data.train_users.tolist(), tiny_data.train_items.tolist()))
+    assert got == want
+
+
+def test_ii_constraint_matches_dense_oracle(tiny_data):
+    """Blockwise top-K against the dense ω = β_row·G·β_col formula."""
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    k = 4
+    nbrs, w = build_ii_constraint(g, k, block=7)  # odd block: exercise edges
+    n, m = tiny_data.n_users, tiny_data.m_items
+    R = np.zeros((n, m))
+    R[tiny_data.train_users, tiny_data.train_items] = 1.0
+    G = R.T @ R
+    gsum = G.sum(axis=1)
+    beta_row = np.where(gsum > 0, np.sqrt(gsum + 1) / np.maximum(gsum, 1e-12), 0)
+    beta_col = 1.0 / np.sqrt(gsum + 1)
+    omega = beta_row[:, None] * G * beta_col[None, :]
+    for i in range(m):
+        row = omega[i]
+        nz = np.flatnonzero(G[i])
+        kk = min(k, nz.size)
+        top_w = np.sort(row[nz])[::-1][:kk]
+        np.testing.assert_allclose(np.sort(w[i][:kk])[::-1], top_w, rtol=1e-5)
+        assert np.all(w[i][kk:] == 0)
+        # returned neighbor weights must equal omega at those indices
+        np.testing.assert_allclose(
+            w[i][:kk], omega[i][nbrs[i][:kk]], rtol=1e-5
+        )
+
+
+def test_ii_constraint_cache_roundtrip(tiny_data, tmp_path):
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    n1, w1 = build_ii_constraint(g, 3, cache_dir=str(tmp_path))
+    assert (tmp_path / "ultragcn_ii_cache.npz").exists()
+    n2, w2 = build_ii_constraint(g, 3, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(w1, w2)
+    # different K must miss the cache, not return stale shapes
+    n3, _ = build_ii_constraint(g, 5, cache_dir=str(tmp_path))
+    assert n3.shape == (tiny_data.m_items, 5)
+
+
+def test_edge_uniform_pair_sampler(tiny_data):
+    """Pairs must be real interactions, visited ∝ user degree."""
+    from gsrs_tpu.ops.sampling import make_sampler_state, sample_pairs_by_edge
+
+    state = make_sampler_state(tiny_data)
+    S = 20000
+    u, p = jax.jit(sample_pairs_by_edge, static_argnums=2)(
+        jax.random.key(0), state, S
+    )
+    u, p = np.asarray(u), np.asarray(p)
+    net = tiny_data.user_item_net
+    assert all(net[uu, pp] for uu, pp in zip(u[:500], p[:500]))
+    counts = np.bincount(u, minlength=tiny_data.n_users)
+    expect = tiny_data.user_degrees / tiny_data.user_degrees.sum() * S
+    # chi-square-ish sanity: observed within 4σ of the multinomial mean
+    sd = np.sqrt(np.maximum(expect, 1))
+    assert np.all(np.abs(counts - expect) < 4 * sd + 10)
+
+
+def test_loss_requires_step_key(tiny_data):
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    model = UltraGCN(_cfg(), g)
+    params = model.init_params(jax.random.key(0))
+    u = jnp.array([0, 1])
+    with pytest.raises(ValueError, match="PRNG key"):
+        model.bpr_loss(params, u, u, u)
+
+
+@pytest.mark.parametrize("sharing", ["none", "batch"])
+def test_loss_finite_and_grads_flow(tiny_data, sharing):
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    model = UltraGCN(_cfg(ug_neg_num=16, ug_neg_sharing=sharing), g)
+    params = model.init_params(jax.random.key(0))
+    users = jnp.array([0, 1, 2, 3])
+    pos = jnp.array([1, 2, 3, 4])
+
+    def f(p):
+        loss, aux = model.bpr_loss(
+            p, users, pos, pos, dropout_key=jax.random.key(7)
+        )
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert {"bpr", "ii", "reg"} <= set(aux)
+    for name in ("user_emb", "item_emb"):
+        assert np.isfinite(np.asarray(grads[name])).all()
+        assert float(jnp.abs(grads[name]).sum()) > 0
+
+
+def test_zero_layers_eval_surface(tiny_data):
+    """Scoring must be the raw-table dot product (no propagation)."""
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    model = UltraGCN(_cfg(), g)
+    params = model.init_params(jax.random.key(0))
+    users = jnp.array([0, 3])
+    scores = model.users_rating(params, users)
+    expect = np.asarray(params["user_emb"])[np.asarray(users)] @ np.asarray(
+        params["item_emb"]
+    ).T
+    np.testing.assert_allclose(np.asarray(scores), expect, atol=1e-6)
+
+
+def test_ultragcn_trains_and_beats_chance(tmp_path):
+    data = clustered(120, 160, n_clusters=4, seed=3)
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            model="ultragcn",
+            embedding_dim=16,
+            ug_neg_num=64,
+            ug_neg_weight=32.0,
+            ug_lambda=1.0,
+            ug_ii_k=8,
+            ug_init_std=1e-2,
+        ),
+        train=TrainConfig(
+            batch_size=256, lr=5e-2, decay=1e-6,
+            checkpoint_dir=str(tmp_path), tensorboard=False,
+        ),
+        eval=EvalConfig(test_batch=64, topks=(20,)),
+    )
+    graph = build_graph(data, edge_pad_multiple=512)
+    from gsrs_tpu.models.registry import build_model
+
+    model = build_model(cfg.model, graph)
+    trainer = Trainer(cfg, data, graph, model)
+    state = trainer.init_state()
+    losses = []
+    for _ in range(10):
+        state, loss = trainer.train_epoch(state)
+        losses.append(loss)
+    assert losses[-1] < losses[0]
+    metrics = trainer.evaluate(state)
+    assert metrics["recall@20"] > 0.2, metrics
+
+
+def test_neg_sharing_modes_agree_in_expectation(tiny_data):
+    """'batch' is an estimator of the same objective: with the negative
+    set equal to the whole catalog both modes must coincide exactly."""
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    m = tiny_data.m_items
+    users = jnp.array([0, 1, 2])
+    pos = jnp.array([5, 6, 7])
+    params = UltraGCN(_cfg(), g).init_params(jax.random.key(1))
+
+    losses = {}
+    for sharing in ("none", "batch"):
+        model = UltraGCN(
+            _cfg(ug_neg_num=m, ug_neg_sharing=sharing, ug_lambda=0.0), g
+        )
+        # monkeypatch the PRNG draw to the full catalog for both modes
+        full = jnp.arange(m)
+        orig = jax.random.randint
+        try:
+            jax.random.randint = lambda key, shape, lo, hi: jnp.broadcast_to(
+                full, shape
+            )
+            loss, _ = model.bpr_loss(
+                params, users, pos, pos, dropout_key=jax.random.key(0)
+            )
+        finally:
+            jax.random.randint = orig
+        losses[sharing] = float(loss)
+    assert losses["none"] == pytest.approx(losses["batch"], rel=1e-5)
