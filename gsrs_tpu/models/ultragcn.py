@@ -205,12 +205,14 @@ class UltraGCN(LightGCN):
             nbrs, w = build_ii_constraint(
                 self.graph, cfg.ug_ii_k, cache_dir=self._ii_cache_dir
             )
-            # Device-resident closure constants (~m·K·8 bytes — a few MB);
-            # unlike the graph edge arrays these are small enough to ride
-            # in the executable rather than thread through the trainer's
-            # fixed (graph, ell) argument slots.
-            self.ii_neighbors = jax.device_put(nbrs.astype(np.int32))
-            self.ii_weights = jax.device_put(w.astype(np.float32))
+            # Kept as HOST numpy: this runs at trace time (first bpr_loss
+            # call, possibly inside jit), where a device_put would return
+            # a tracer and leak into later traces. As numpy they bake into
+            # each executable as constants (~m·K·8 bytes — a few MB, small
+            # enough not to thread through the trainer's fixed (graph,
+            # ell) argument slots).
+            self.ii_neighbors = nbrs.astype(np.int32)
+            self.ii_weights = w.astype(np.float32)
 
     # ------------------------------------------------------------------ init
     def init_params(self, key: jax.Array) -> Params:
@@ -296,8 +298,8 @@ class UltraGCN(LightGCN):
         aux: Dict[str, jax.Array] = {"bpr": loss_c}
         loss = loss_c
         if self.ii_neighbors is not None:
-            nbrs = self.ii_neighbors[pos]  # (B, K)
-            wii = self.ii_weights[pos]  # (B, K)
+            nbrs = jnp.asarray(self.ii_neighbors)[pos]  # (B, K)
+            wii = jnp.asarray(self.ii_weights)[pos]  # (B, K)
             nbr_e = params["item_emb"][nbrs]  # (B, K, d)
             nbc = nbr_e.astype(jnp.bfloat16) if cfg.bf16_compute else nbr_e
             s = jnp.einsum(

@@ -166,6 +166,45 @@ def test_ultragcn_trains_and_beats_chance(tmp_path):
     assert metrics["recall@20"] > 0.2, metrics
 
 
+def test_ultragcn_trainer_on_mesh_matches_single_device(tmp_path):
+    """UltraGCN on a (2,4) mesh must match the single-device trainer's
+    losses exactly (same keys → same edge-pair batches and in-loss
+    negatives; GSPMD shards the gathers/matmuls, not the math)."""
+    from gsrs_tpu.config import ParallelConfig
+    from gsrs_tpu.models.registry import build_model
+
+    data = clustered(64, 96, n_clusters=4, seed=2)
+
+    def make(par, subdir):
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                model="ultragcn", embedding_dim=8, ug_neg_num=32,
+                ug_neg_sharing="batch", ug_ii_k=4,
+            ),
+            train=TrainConfig(
+                batch_size=64, lr=1e-2, checkpoint_dir=str(tmp_path / subdir),
+                tensorboard=False,
+            ),
+            eval=EvalConfig(test_batch=32),
+            parallel=par,
+        )
+        graph = build_graph(data, edge_pad_multiple=256)
+        model = build_model(cfg.model, graph)
+        return Trainer(cfg, data, graph, model)
+
+    t1 = make(ParallelConfig(), "single")
+    t8 = make(ParallelConfig(data_axis=2, model_axis=4), "mesh")
+    assert t8.mesh is not None
+    s1, s8 = t1.init_state(), t8.init_state()
+    for _ in range(3):
+        s1, l1 = t1.train_epoch(s1)
+        s8, l8 = t8.train_epoch(s8)
+        np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    m1, m8 = t1.evaluate(s1), t8.evaluate(s8)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], atol=1e-5)
+
+
 def test_neg_sharing_modes_agree_in_expectation(tiny_data):
     """'batch' is an estimator of the same objective: with the negative
     set equal to the whole catalog both modes must coincide exactly."""
