@@ -110,9 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--ug_neg_sharing",
         type=str,
         default="none",
-        choices=["none", "batch"],
-        help="negative sampling: per-example (paper) or one shared set per batch (MXU matmul)",
+        choices=["none", "batch", "group"],
+        help="negatives: per-example (paper), one shared set per batch "
+        "(MXU matmul), or per-group of rows (decorrelated middle ground)",
     )
+    p.add_argument("--ug_neg_groups", type=int, default=8)
     # TPU-native additions (no reference counterpart)
     p.add_argument("--bf16", action="store_true", help="bf16 propagation/scoring")
     p.add_argument(
@@ -188,6 +190,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             ug_ii_k=args.ug_ii_k,
             ug_init_std=args.ug_init_std,
             ug_neg_sharing=args.ug_neg_sharing,
+            ug_neg_groups=args.ug_neg_groups,
             bf16_compute=args.bf16,
             spmm_mode=args.spmm,
         ),

@@ -116,8 +116,11 @@ class ModelConfig:
     ug_init_std: float = 1e-4  # embedding init std (paper: 1e-4)
     # 'none' = per-example negatives (the paper's objective);
     # 'batch' = one shared negative set per batch (fewer gathers/scatters,
-    # slightly correlated negatives).
+    # slightly correlated negatives);
+    # 'group' = one set per group of batch rows (ug_neg_groups groups) —
+    # decorrelates most of 'batch' at a small gather cost.
     ug_neg_sharing: str = "none"
+    ug_neg_groups: int = 8  # groups per batch for ug_neg_sharing='group'
 
     # Numerics: embeddings/optimizer state in fp32; propagation and scoring
     # matmuls may run in bf16 on the MXU when True.

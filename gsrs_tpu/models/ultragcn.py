@@ -177,11 +177,13 @@ class UltraGCN(LightGCN):
     ):
         import dataclasses
 
-        if cfg.ug_neg_sharing not in ("none", "batch"):
+        if cfg.ug_neg_sharing not in ("none", "batch", "group"):
             raise ValueError(
-                f"ug_neg_sharing must be 'none' or 'batch', got "
+                f"ug_neg_sharing must be 'none', 'batch' or 'group', got "
                 f"'{cfg.ug_neg_sharing}'"
             )
+        if cfg.ug_neg_sharing == "group" and cfg.ug_neg_groups < 1:
+            raise ValueError("ug_neg_groups must be >= 1")
         cfg = dataclasses.replace(
             cfg, num_layers=0, dropout=False, use_pop_gate=False,
             use_item_item=False,
@@ -282,6 +284,26 @@ class UltraGCN(LightGCN):
             )  # (B, N) — one MXU matmul
             w_neg = cfg.ug_w3 + cfg.ug_w4 * (
                 beta_u[users][:, None] * beta_i[negs][None, :]
+            )
+        elif cfg.ug_neg_sharing == "group":
+            # One negative set per contiguous group of B/G rows: G·N
+            # gathered rows/step (vs B·N for 'none') and G batched MXU
+            # matmuls; within-step correlation drops by ~G vs 'batch'.
+            G = cfg.ug_neg_groups
+            if B % G:
+                raise ValueError(
+                    f"batch size {B} not divisible by ug_neg_groups {G}"
+                )
+            negs = jax.random.randint(dropout_key, (G, N), 0, self.m_items)
+            ne = params["item_emb"][negs]  # (G, N, d)
+            nec = ne.astype(jnp.bfloat16) if cfg.bf16_compute else ne
+            ug = uc.reshape(G, B // G, -1)
+            neg_scores = jnp.einsum(
+                "gbd,gnd->gbn", ug, nec, preferred_element_type=jnp.float32
+            ).reshape(B, N)
+            w_neg = cfg.ug_w3 + cfg.ug_w4 * (
+                beta_u[users][:, None]
+                * jnp.repeat(beta_i[negs], B // G, axis=0)
             )
         else:
             negs = jax.random.randint(dropout_key, (B, N), 0, self.m_items)

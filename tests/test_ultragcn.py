@@ -98,10 +98,12 @@ def test_loss_requires_step_key(tiny_data):
         model.bpr_loss(params, u, u, u)
 
 
-@pytest.mark.parametrize("sharing", ["none", "batch"])
+@pytest.mark.parametrize("sharing", ["none", "batch", "group"])
 def test_loss_finite_and_grads_flow(tiny_data, sharing):
     g = build_graph(tiny_data, edge_pad_multiple=64)
-    model = UltraGCN(_cfg(ug_neg_num=16, ug_neg_sharing=sharing), g)
+    model = UltraGCN(
+        _cfg(ug_neg_num=16, ug_neg_sharing=sharing, ug_neg_groups=2), g
+    )
     params = model.init_params(jax.random.key(0))
     users = jnp.array([0, 1, 2, 3])
     pos = jnp.array([1, 2, 3, 4])
@@ -215,9 +217,13 @@ def test_neg_sharing_modes_agree_in_expectation(tiny_data):
     params = UltraGCN(_cfg(), g).init_params(jax.random.key(1))
 
     losses = {}
-    for sharing in ("none", "batch"):
+    for sharing in ("none", "batch", "group"):
         model = UltraGCN(
-            _cfg(ug_neg_num=m, ug_neg_sharing=sharing, ug_lambda=0.0), g
+            _cfg(
+                ug_neg_num=m, ug_neg_sharing=sharing, ug_lambda=0.0,
+                ug_neg_groups=3,
+            ),
+            g,
         )
         # monkeypatch the PRNG draw to the full catalog for both modes
         full = jnp.arange(m)
@@ -233,3 +239,4 @@ def test_neg_sharing_modes_agree_in_expectation(tiny_data):
             jax.random.randint = orig
         losses[sharing] = float(loss)
     assert losses["none"] == pytest.approx(losses["batch"], rel=1e-5)
+    assert losses["none"] == pytest.approx(losses["group"], rel=1e-5)
