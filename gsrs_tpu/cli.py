@@ -110,9 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--ug_neg_sharing",
         type=str,
         default="none",
-        choices=["none", "batch", "group"],
+        choices=["none", "batch", "group", "full"],
         help="negatives: per-example (paper), one shared set per batch "
-        "(MXU matmul), or per-group of rows (decorrelated middle ground)",
+        "(MXU matmul), per-group of rows (decorrelated middle ground), "
+        "or 'full' = closed-form expectation over the whole catalog "
+        "(one (B,d)x(d,m) matmul; zero sampling variance)",
     )
     p.add_argument("--ug_neg_groups", type=int, default=8)
     # TPU-native additions (no reference counterpart)

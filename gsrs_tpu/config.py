@@ -118,7 +118,10 @@ class ModelConfig:
     # 'batch' = one shared negative set per batch (fewer gathers/scatters,
     # slightly correlated negatives);
     # 'group' = one set per group of batch rows (ug_neg_groups groups) —
-    # decorrelates most of 'batch' at a small gather cost.
+    # decorrelates most of 'batch' at a small gather cost;
+    # 'full' = the closed-form expectation of the paper's estimator: the
+    # negative term evaluated over the WHOLE catalog via one (B,d)×(d,m)
+    # MXU matmul — zero sampling variance, ug_neg_num unused.
     ug_neg_sharing: str = "none"
     ug_neg_groups: int = 8  # groups per batch for ug_neg_sharing='group'
 

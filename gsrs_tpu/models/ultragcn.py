@@ -177,10 +177,10 @@ class UltraGCN(LightGCN):
     ):
         import dataclasses
 
-        if cfg.ug_neg_sharing not in ("none", "batch", "group"):
+        if cfg.ug_neg_sharing not in ("none", "batch", "group", "full"):
             raise ValueError(
-                f"ug_neg_sharing must be 'none', 'batch' or 'group', got "
-                f"'{cfg.ug_neg_sharing}'"
+                f"ug_neg_sharing must be 'none', 'batch', 'group' or "
+                f"'full', got '{cfg.ug_neg_sharing}'"
             )
         if cfg.ug_neg_sharing == "group" and cfg.ug_neg_groups < 1:
             raise ValueError("ug_neg_groups must be >= 1")
@@ -275,7 +275,24 @@ class UltraGCN(LightGCN):
 
         B = users.shape[0]
         N = cfg.ug_neg_num
-        if cfg.ug_neg_sharing == "batch":
+        if cfg.ug_neg_sharing == "full":
+            # Closed-form expectation of the paper's estimator: negatives
+            # are uniform over the catalog (collisions included), so
+            # E[mean_n w·softplus(s_n)] = mean over ALL m items — one
+            # (B,d)×(d,m) MXU matmul, zero sampling variance, and every
+            # item gets a negative gradient every step. On TPU this is
+            # CHEAPER than gathering N sampled rows (ug_neg_num unused).
+            items_t = params["item_emb"]
+            itc = (
+                items_t.astype(jnp.bfloat16) if cfg.bf16_compute else items_t
+            )
+            neg_scores = jnp.dot(
+                uc, itc.T, preferred_element_type=jnp.float32
+            )  # (B, m)
+            w_neg = cfg.ug_w3 + cfg.ug_w4 * (
+                beta_u[users][:, None] * beta_i[None, :]
+            )
+        elif cfg.ug_neg_sharing == "batch":
             negs = jax.random.randint(dropout_key, (N,), 0, self.m_items)
             ne = params["item_emb"][negs]  # (N, d)
             nec = ne.astype(jnp.bfloat16) if cfg.bf16_compute else ne

@@ -98,7 +98,7 @@ def test_loss_requires_step_key(tiny_data):
         model.bpr_loss(params, u, u, u)
 
 
-@pytest.mark.parametrize("sharing", ["none", "batch", "group"])
+@pytest.mark.parametrize("sharing", ["none", "batch", "group", "full"])
 def test_loss_finite_and_grads_flow(tiny_data, sharing):
     g = build_graph(tiny_data, edge_pad_multiple=64)
     model = UltraGCN(
@@ -217,7 +217,7 @@ def test_neg_sharing_modes_agree_in_expectation(tiny_data):
     params = UltraGCN(_cfg(), g).init_params(jax.random.key(1))
 
     losses = {}
-    for sharing in ("none", "batch", "group"):
+    for sharing in ("none", "batch", "group", "full"):
         model = UltraGCN(
             _cfg(
                 ug_neg_num=m, ug_neg_sharing=sharing, ug_lambda=0.0,
@@ -240,3 +240,5 @@ def test_neg_sharing_modes_agree_in_expectation(tiny_data):
         losses[sharing] = float(loss)
     assert losses["none"] == pytest.approx(losses["batch"], rel=1e-5)
     assert losses["none"] == pytest.approx(losses["group"], rel=1e-5)
+    # 'full' needs no monkeypatch at all: it IS the whole-catalog term
+    assert losses["none"] == pytest.approx(losses["full"], rel=1e-5)
