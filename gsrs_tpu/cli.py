@@ -117,6 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(one (B,d)x(d,m) matmul; zero sampling variance)",
     )
     p.add_argument("--ug_neg_groups", type=int, default=8)
+    p.add_argument(
+        "--ug_sift_pos",
+        action="store_true",
+        help="exclude each user's train positives from the negative term "
+        "(exact, bitset-masked; requires --ug_neg_sharing full)",
+    )
     # TPU-native additions (no reference counterpart)
     p.add_argument("--bf16", action="store_true", help="bf16 propagation/scoring")
     p.add_argument(
@@ -193,6 +199,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             ug_init_std=args.ug_init_std,
             ug_neg_sharing=args.ug_neg_sharing,
             ug_neg_groups=args.ug_neg_groups,
+            ug_sift_pos=args.ug_sift_pos,
             bf16_compute=args.bf16,
             spmm_mode=args.spmm,
         ),

@@ -124,6 +124,11 @@ class ModelConfig:
     # MXU matmul — zero sampling variance, ug_neg_num unused.
     ug_neg_sharing: str = "none"
     ug_neg_groups: int = 8  # groups per batch for ug_neg_sharing='group'
+    # Exclude each user's known train positives from the negative term
+    # (the paper's sampling_sift_pos, evaluated EXACTLY: only available
+    # with ug_neg_sharing='full', where the (B,m) score matrix is already
+    # materialized and the sampler's packed train bitset masks it).
+    ug_sift_pos: bool = False
 
     # Numerics: embeddings/optimizer state in fp32; propagation and scoring
     # matmuls may run in bf16 on the MXU when True.

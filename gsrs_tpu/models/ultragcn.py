@@ -47,11 +47,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from gsrs_tpu.config import ModelConfig
 from gsrs_tpu.data.adjacency import BipartiteGraph, _edge_checksum
 from gsrs_tpu.models.lightgcn import LightGCN, Params
+from gsrs_tpu.ops.bitset import bitset_row_mask
 
 II_CACHE_NAME = "ultragcn_ii_cache.npz"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrainBitset:
+    """Packed train-positive membership rows, carried to UltraGCN's loss
+    through the trainer's ``ell`` argument slot (UltraGCN has no ELL
+    graph; the Trainer re-uses the sampler's bitset — no extra HBM)."""
+
+    bitset: jax.Array  # (n_users, ceil(m/32)) uint32
 
 
 def real_edges(graph: BipartiteGraph) -> Tuple[np.ndarray, np.ndarray]:
@@ -175,8 +188,6 @@ class UltraGCN(LightGCN):
         ell=None,
         ii_cache_dir: Optional[str] = None,
     ):
-        import dataclasses
-
         if cfg.ug_neg_sharing not in ("none", "batch", "group", "full"):
             raise ValueError(
                 f"ug_neg_sharing must be 'none', 'batch', 'group' or "
@@ -184,6 +195,11 @@ class UltraGCN(LightGCN):
             )
         if cfg.ug_neg_sharing == "group" and cfg.ug_neg_groups < 1:
             raise ValueError("ug_neg_groups must be >= 1")
+        if cfg.ug_sift_pos and cfg.ug_neg_sharing != "full":
+            raise ValueError(
+                "ug_sift_pos requires ug_neg_sharing='full' (the sampled "
+                "estimators draw uniformly with collisions, per the paper)"
+            )
         cfg = dataclasses.replace(
             cfg, num_layers=0, dropout=False, use_pop_gate=False,
             use_item_item=False,
@@ -193,6 +209,9 @@ class UltraGCN(LightGCN):
         self._ii_built = False
         self.ii_neighbors = None
         self.ii_weights = None
+        # The Trainer fills model.ell with TrainBitset when this is True
+        # (re-using the sampler's packed bitset).
+        self.wants_train_bitset = cfg.ug_sift_pos
 
     def _ensure_ii(self) -> None:
         """Build the item–item top-K lazily, at the first loss trace —
@@ -275,6 +294,7 @@ class UltraGCN(LightGCN):
 
         B = users.shape[0]
         N = cfg.ug_neg_num
+        neg_denom = None  # default: mean over the sampled/constructed axis
         if cfg.ug_neg_sharing == "full":
             # Closed-form expectation of the paper's estimator: negatives
             # are uniform over the catalog (collisions included), so
@@ -292,6 +312,24 @@ class UltraGCN(LightGCN):
             w_neg = cfg.ug_w3 + cfg.ug_w4 * (
                 beta_u[users][:, None] * beta_i[None, :]
             )
+            if cfg.ug_sift_pos:
+                # Exact sampling_sift_pos: zero the user's known positives
+                # (and any phantom padding columns, which the sampler's
+                # bitset also sets) out of the negative term and average
+                # over the remaining catalog only.
+                if not isinstance(ell, TrainBitset):
+                    raise ValueError(
+                        "ug_sift_pos needs the train bitset: the Trainer "
+                        "passes it via the ell slot (TrainBitset), or "
+                        "pass ell=TrainBitset(bitset) directly"
+                    )
+                is_pos = bitset_row_mask(
+                    ell.bitset[users], self.m_items
+                )  # (B, m) bool
+                w_neg = w_neg * (1.0 - is_pos.astype(w_neg.dtype))
+                neg_denom = jnp.maximum(
+                    self.m_items - jnp.sum(is_pos, axis=1), 1
+                ).astype(jnp.float32)
         elif cfg.ug_neg_sharing == "batch":
             negs = jax.random.randint(dropout_key, (N,), 0, self.m_items)
             ne = params["item_emb"][negs]  # (N, d)
@@ -331,7 +369,13 @@ class UltraGCN(LightGCN):
             )
             w_neg = cfg.ug_w3 + cfg.ug_w4 * beta_u[users][:, None] * beta_i[negs]
         # BCE with label 0: -log(1-σ(s)) = softplus(s); mean over negatives
-        neg_loss = jnp.mean(w_neg * jax.nn.softplus(neg_scores), axis=1)
+        if neg_denom is None:
+            neg_loss = jnp.mean(w_neg * jax.nn.softplus(neg_scores), axis=1)
+        else:
+            neg_loss = (
+                jnp.sum(w_neg * jax.nn.softplus(neg_scores), axis=1)
+                / neg_denom
+            )
         loss_c = jnp.sum(pos_loss + cfg.ug_neg_weight * neg_loss)
 
         aux: Dict[str, jax.Array] = {"bpr": loss_c}

@@ -92,6 +92,13 @@ class Trainer:
             make_sampler_state(data),
             *( [self._shardings.replicated()] if self._shardings else [] ),
         )
+        # Models that mask per-user positives inside their loss (UltraGCN
+        # ug_sift_pos) get the sampler's packed bitset through the unused
+        # ell slot — same buffer, no extra HBM.
+        if getattr(model, "wants_train_bitset", False) and model.ell is None:
+            from gsrs_tpu.models.ultragcn import TrainBitset
+
+            model.ell = TrainBitset(self.sampler_state.train_bitset)
         self.steps_per_epoch = max(1, -(-data.train_size // cfg.train.batch_size))
         self.optimizer, self.schedule = make_optimizer(
             cfg.train, self.steps_per_epoch

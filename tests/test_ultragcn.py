@@ -168,6 +168,91 @@ def test_ultragcn_trains_and_beats_chance(tmp_path):
     assert metrics["recall@20"] > 0.2, metrics
 
 
+def test_sift_pos_matches_numpy_oracle(tiny_data):
+    """'full' + ug_sift_pos must equal the dense numpy computation of the
+    negative term averaged over each user's NON-positive items only."""
+    from gsrs_tpu.models.ultragcn import TrainBitset
+    from gsrs_tpu.ops.bitset import build_bitset
+
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    n, m = tiny_data.n_users, tiny_data.m_items
+    cfg = _cfg(ug_neg_sharing="full", ug_sift_pos=True, ug_lambda=0.0)
+    model = UltraGCN(cfg, g)
+    params = model.init_params(jax.random.key(3))
+    bitset = TrainBitset(
+        jnp.asarray(
+            build_bitset(tiny_data.train_users, tiny_data.train_items, n, m)
+        )
+    )
+    users = jnp.array([0, 1, 5])
+    pos = jnp.array([2, 3, 4])
+    loss, aux = model.bpr_loss(
+        params, users, pos, pos, dropout_key=jax.random.key(0), ell=bitset
+    )
+
+    # dense numpy oracle
+    U = np.asarray(params["user_emb"])
+    I = np.asarray(params["item_emb"])
+    du = tiny_data.user_degrees.astype(np.float64)
+    di = tiny_data.item_degrees.astype(np.float64)
+    beta_u = np.sqrt(du + 1) / np.maximum(du, 1e-12)
+    beta_i = 1.0 / np.sqrt(di + 1)
+    R = np.zeros((n, m), dtype=bool)
+    R[tiny_data.train_users, tiny_data.train_items] = True
+    sp = lambda x: np.logaddexp(0.0, x)
+    total = 0.0
+    for b in range(3):
+        u, p = int(users[b]), int(pos[b])
+        s_pos = U[u] @ I[p]
+        w_pos = cfg.ug_w1 + cfg.ug_w2 * beta_u[u] * beta_i[p]
+        scores = U[u] @ I.T
+        w = cfg.ug_w3 + cfg.ug_w4 * beta_u[u] * beta_i
+        w = np.where(R[u], 0.0, w)
+        neg = w @ sp(scores) / (m - R[u].sum())
+        total += w_pos * sp(-s_pos) + cfg.ug_neg_weight * neg
+    assert float(loss) == pytest.approx(total, rel=2e-5)
+
+
+def test_sift_pos_validation(tiny_data):
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    with pytest.raises(ValueError, match="sift_pos requires"):
+        UltraGCN(_cfg(ug_neg_sharing="batch", ug_sift_pos=True), g)
+    model = UltraGCN(_cfg(ug_neg_sharing="full", ug_sift_pos=True), g)
+    params = model.init_params(jax.random.key(0))
+    u = jnp.array([0, 1])
+    with pytest.raises(ValueError, match="train bitset"):
+        model.bpr_loss(params, u, u, u, dropout_key=jax.random.key(0))
+
+
+def test_sift_pos_via_trainer(tmp_path):
+    """Trainer must auto-wire the sampler bitset into model.ell and train."""
+    from gsrs_tpu.models.registry import build_model
+    from gsrs_tpu.models.ultragcn import TrainBitset
+
+    data = clustered(48, 64, n_clusters=4, seed=5)
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            model="ultragcn", embedding_dim=8, ug_neg_sharing="full",
+            ug_sift_pos=True, ug_ii_k=4,
+        ),
+        train=TrainConfig(
+            batch_size=64, lr=1e-2, checkpoint_dir=str(tmp_path),
+            tensorboard=False,
+        ),
+        eval=EvalConfig(test_batch=32),
+    )
+    graph = build_graph(data, edge_pad_multiple=256)
+    model = build_model(cfg.model, graph)
+    trainer = Trainer(cfg, data, graph, model, run_eval=False)
+    assert isinstance(model.ell, TrainBitset)
+    state = trainer.init_state()
+    losses = []
+    for _ in range(4):
+        state, loss = trainer.train_epoch(state)
+        losses.append(loss)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
 def test_ultragcn_trainer_on_mesh_matches_single_device(tmp_path):
     """UltraGCN on a (2,4) mesh must match the single-device trainer's
     losses exactly (same keys → same edge-pair batches and in-loss
