@@ -192,6 +192,205 @@ def ell_from_interactions(data, min_width: int = 4) -> EllGraph:
     )
 
 
+# ---------------------------------------------------- mesh-even padding
+
+
+def pad_ell_graph(ell: EllGraph, multiple: int) -> EllGraph:
+    """Pad every bucket's row count to a multiple of ``multiple`` (zero
+    cols/weights — the padded rows compute zeros that no assemble entry
+    points at) and rebuild each side's assemble map for the shifted
+    concat offsets. This makes the bucket arrays' leading axes evenly
+    shardable over an N-device mesh (GSPMD in_shardings require exact
+    divisibility), so the ELL storage really splits 1/N per device."""
+    if multiple <= 1:
+        return ell
+
+    def pad_side(side: EllSide) -> EllSide:
+        sizes = [int(b.rows.shape[0]) for b in side.buckets]
+        padded = [-(-s // multiple) * multiple for s in sizes]
+        old_off = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        new_off = np.concatenate([[0], np.cumsum(padded)]).astype(np.int64)
+
+        asm = np.asarray(side.assemble).astype(np.int64)
+        out = np.full(asm.shape, new_off[-1], dtype=np.int32)  # zero row
+        active = np.flatnonzero(asm < old_off[-1])
+        pos = asm[active]
+        b_of = np.searchsorted(old_off, pos, side="right") - 1
+        out[active] = (new_off[b_of] + (pos - old_off[b_of])).astype(np.int32)
+
+        new_buckets = []
+        for b, s, p in zip(side.buckets, sizes, padded):
+            pad = p - s
+            if pad == 0:
+                new_buckets.append(b)
+                continue
+            width = b.cols.shape[1]
+
+            def cat1(x):
+                return np.concatenate(
+                    [np.asarray(x), np.zeros(pad, dtype=np.asarray(x).dtype)]
+                )
+
+            def cat2(x):
+                x = np.asarray(x)
+                return np.concatenate(
+                    [x, np.zeros((pad, width), dtype=x.dtype)], axis=0
+                )
+
+            new_buckets.append(
+                EllBucket(
+                    rows=cat1(b.rows),
+                    cols=cat2(b.cols),
+                    w=cat2(b.w),
+                    eidx=cat2(b.eidx),
+                )
+            )
+        return EllSide(
+            buckets=tuple(new_buckets), assemble=out, n_rows=side.n_rows
+        )
+
+    return EllGraph(
+        by_user=pad_side(ell.by_user),
+        by_item=pad_side(ell.by_item),
+        n_users=ell.n_users,
+        m_items=ell.m_items,
+    )
+
+
+# ------------------------------------------------------- sharded layout
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedEllSide:
+    """One SpMM direction, row-partitioned into ``n_shards`` equal slices.
+
+    Every bucket's rows are split into n_shards contiguous chunks padded
+    to equal length (padding slots carry col 0 / weight 0, and no
+    assemble entry points at them). Stacking the chunks device-major
+    gives arrays whose leading axis shards evenly over the flattened
+    mesh, so each device stores and computes exactly 1/n_shards of the
+    edge slots:
+
+    - ``cols``/``w``/``eidx``: tuple over buckets of
+      (n_shards · rows_ps_b, width_b) arrays — shard axis 0.
+    - ``assemble``: (n_shards, n_rows) — shard axis 0. Shard s's row maps
+      every destination row it OWNS to its position in s's local
+      concatenation of bucket outputs, and every other row to the local
+      zero row (``local_len``). Summing the per-shard assembled outputs
+      (a psum over the mesh) completes the rows, exactly like the
+      segment-sum shard_map path (SURVEY.md §5.7's edge-partitioned
+      design, with the gather/scatter-free ELL formulation kept intact).
+    """
+
+    cols: Tuple[jax.Array, ...]
+    w: Tuple[jax.Array, ...]
+    eidx: Tuple[jax.Array, ...]
+    assemble: jax.Array  # (n_shards, n_rows) int32
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    local_len: int = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedEllGraph:
+    by_user: ShardedEllSide
+    by_item: ShardedEllSide
+    n_users: int = dataclasses.field(metadata=dict(static=True))
+    m_items: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _shard_side(side: EllSide, n_shards: int) -> ShardedEllSide:
+    """Split each bucket's rows into n_shards padded contiguous chunks and
+    build the per-shard assembly gathers."""
+    assemble_np = np.asarray(side.assemble)
+    # global concat offsets of each bucket (matching _build_side's layout)
+    sizes = [int(b.rows.shape[0]) for b in side.buckets]
+    g_off = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    rows_ps = [-(-s // n_shards) for s in sizes]  # ceil per bucket
+    l_off = np.concatenate([[0], np.cumsum(rows_ps)]).astype(np.int64)
+    local_len = int(l_off[-1])
+
+    cols, ws, es = [], [], []
+    for b, rp in zip(side.buckets, rows_ps):
+        n_b, width = b.cols.shape
+        pad = n_shards * rp - n_b
+
+        def p(x):
+            x = np.asarray(x)
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad, width), dtype=x.dtype)], axis=0
+                )
+            # device-major stacking: shard s owns global bucket rows
+            # [s·rp, (s+1)·rp) — already contiguous, no reorder needed
+            return x
+
+        cols.append(p(b.cols))
+        ws.append(p(b.w))
+        es.append(p(b.eidx))
+
+    # per-shard assemble: invert the global concat position of each row
+    assemble = np.full((n_shards, side.n_rows), local_len, dtype=np.int32)
+    n_assembled_global = int(g_off[-1])
+    active = np.flatnonzero(assemble_np < n_assembled_global)
+    pos = assemble_np[active].astype(np.int64)
+    bucket_of = np.searchsorted(g_off, pos, side="right") - 1
+    within = pos - g_off[bucket_of]
+    rp_arr = np.asarray(rows_ps, dtype=np.int64)[bucket_of]
+    owner = within // rp_arr
+    local_pos = l_off[bucket_of] + (within - owner * rp_arr)
+    assemble[owner, active] = local_pos.astype(np.int32)
+
+    return ShardedEllSide(
+        cols=tuple(cols),
+        w=tuple(ws),
+        eidx=tuple(es),
+        assemble=assemble,
+        n_rows=side.n_rows,
+        local_len=local_len,
+        n_shards=n_shards,
+    )
+
+
+def shard_ell_graph(ell: EllGraph, n_shards: int) -> ShardedEllGraph:
+    """Re-layout an EllGraph for explicit n_shards-way edge partitioning
+    (the shard_map path; the GSPMD path shards the plain EllGraph's
+    bucket arrays directly via NamedShardings)."""
+    return ShardedEllGraph(
+        by_user=_shard_side(ell.by_user, n_shards),
+        by_item=_shard_side(ell.by_item, n_shards),
+        n_users=ell.n_users,
+        m_items=ell.m_items,
+    )
+
+
+def apply_sharded_side_local(
+    side_cols: Tuple[jax.Array, ...],
+    side_w: Tuple[jax.Array, ...],
+    side_eidx: Tuple[jax.Array, ...],
+    assemble_local: jax.Array,  # (n_rows,) this shard's gather map
+    x: jax.Array,  # (S, d) FULL source table (replicated per device)
+    edge_mask: Optional[jax.Array] = None,  # (E,) canonical-order keep mask
+) -> jax.Array:
+    """One shard's partial of ``W @ x``: (n_rows, d) with zeros on rows
+    this shard doesn't own. A psum over the mesh completes the rows.
+    Runs inside shard_map, so every array here is the LOCAL slice."""
+    partials = []
+    for cols, w, eidx in zip(side_cols, side_w, side_eidx):
+        if edge_mask is not None:
+            w = w * edge_mask[eidx]
+        gathered = jnp.take(x, cols.reshape(-1), axis=0).reshape(
+            (*cols.shape, x.shape[-1])
+        )
+        partials.append(jnp.einsum("nd,ndk->nk", w.astype(x.dtype), gathered))
+    concat = jnp.concatenate(
+        partials + [jnp.zeros((1, x.shape[-1]), dtype=x.dtype)], axis=0
+    )
+    return jnp.take(concat, assemble_local, axis=0)
+
+
 # ----------------------------------------------------------------- apply
 
 

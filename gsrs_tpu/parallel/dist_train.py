@@ -32,20 +32,23 @@ def make_train_step(
 
     Batch arrays come in sharded over 'data'; tables live row-sharded over
     'model'. The loss is a global mean — GSPMD turns the batch-mean grad
-    into a psum over the data axis automatically."""
-    if model.cfg.dropout:
-        raise NotImplementedError(
-            "edge dropout is not wired into the standalone GSPMD step "
-            "(bpr_loss is called with dropout_key=None here); use the "
-            "Trainer's mesh path, which threads dropout keys through GSPMD"
-        )
+    into a psum over the data axis automatically.
+
+    With edge dropout configured (cfg.dropout), the step takes an extra
+    PRNG key argument after ``ell``:
+    (params, opt_state, graph, ell, key, users, pos, neg). The canonical
+    per-edge keep mask is derived from the replicated key inside the
+    jitted program, so every device drops the same edges (implements the
+    reference's dead --dropout/--keepprob flags, reference
+    code/model.py:214, in the distributed path too)."""
     sh = GraphShardings(mesh)
     batch_s = sh.batch_spec()
     rep = sh.replicated()
+    use_dropout = bool(model.cfg.dropout)
 
-    def step(params, opt_state, graph, ell, users, pos, neg):
+    def step(params, opt_state, graph, ell, key, users, pos, neg):
         def loss_fn(p):
-            loss, aux = model.bpr_loss(p, users, pos, neg, None, graph, ell)
+            loss, aux = model.bpr_loss(p, users, pos, neg, key, graph, ell)
             return loss + decay * aux["reg"], aux
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -56,16 +59,35 @@ def make_train_step(
     def compile_for(params, opt_state):
         pspec = sh.params_spec(params)
         ospec = sh.opt_state_spec(opt_state, params)
-        # ELL tables: replicated for now (row-sharded layout is a follow-up;
-        # GSPMD still shards the compute via the table/batch shardings).
-        ell_spec = jax.tree_util.tree_map(lambda _: rep, model.ell)
-        return jax.jit(
+        # ELL bucket arrays shard their leading axis over the whole mesh
+        # (each device stores ~1/n_devices of the edge slots); graph
+        # models without an ELL layout (UltraGCN's TrainBitset slot, or
+        # spmm_mode='segment') replicate whatever rides in the slot.
+        from gsrs_tpu.ops.ell import EllGraph
+
+        if isinstance(model.ell, EllGraph):
+            n_dev = mesh.size
+            for side in (model.ell.by_user, model.ell.by_item):
+                for b in side.buckets:
+                    if b.cols.shape[0] % n_dev:
+                        raise ValueError(
+                            "ELL bucket rows must be a multiple of the mesh "
+                            f"size ({n_dev}) to shard evenly — place the ELL "
+                            "with GraphShardings.place_ell(ell), which pads "
+                            "and shards it (got a bucket with "
+                            f"{b.cols.shape[0]} rows)"
+                        )
+            ell_spec = sh.ell_spec(model.ell)
+        else:
+            ell_spec = jax.tree_util.tree_map(lambda _: rep, model.ell)
+        jitted = jax.jit(
             step,
             in_shardings=(
                 pspec,
                 ospec,
                 sh.graph_spec(model.graph),
                 ell_spec,
+                rep,
                 batch_s,
                 batch_s,
                 batch_s,
@@ -73,6 +95,13 @@ def make_train_step(
             out_shardings=(pspec, ospec, rep),
             donate_argnums=(0, 1),
         )
+        if use_dropout:
+            return jitted
+
+        def no_key(params, opt_state, graph, ell, users, pos, neg):
+            return jitted(params, opt_state, graph, ell, None, users, pos, neg)
+
+        return no_key
 
     return compile_for
 

@@ -82,6 +82,47 @@ class GraphShardings:
             item_degrees=rep,
         )
 
+    # ---------------------------------------------------------------- ell
+    def ell_spec(self, ell: Any) -> Any:
+        """Sharding pytree for an EllGraph: every bucket array (rows,
+        cols, w, eidx — the O(edges) memory) shards its leading axis over
+        the whole mesh; the per-side assemble gather map (O(n_rows), small)
+        replicates. This is what makes the pod-scale memory plan real:
+        each device stores ~1/n_devices of the edge slots
+        (tools/stress_pod.py budgets ELL as edges/n_dev)."""
+        from gsrs_tpu.ops.ell import EllBucket, EllSide
+
+        edge = _ns(self.mesh, P(("data", "model")))
+        edge2d = _ns(self.mesh, P(("data", "model"), None))
+        rep = _ns(self.mesh, P())
+
+        def side_spec(side: EllSide) -> EllSide:
+            return dataclasses.replace(
+                side,
+                buckets=tuple(
+                    EllBucket(rows=edge, cols=edge2d, w=edge2d, eidx=edge2d)
+                    for _ in side.buckets
+                ),
+                assemble=rep,
+            )
+
+        return dataclasses.replace(
+            ell,
+            by_user=side_spec(ell.by_user),
+            by_item=side_spec(ell.by_item),
+        )
+
+    def place_ell(self, ell: Any) -> Any:
+        """Pad bucket rows to a mesh-size multiple (GSPMD shardings need
+        exact divisibility), then place each array with its sharded spec.
+        The returned (padded) EllGraph is what must be passed to the
+        sharded step — its shapes define the compiled program."""
+        from gsrs_tpu.ops.ell import pad_ell_graph
+
+        ell = pad_ell_graph(ell, self.mesh.size)
+        spec = self.ell_spec(ell)
+        return jax.tree_util.tree_map(jax.device_put, ell, spec)
+
     # -------------------------------------------------------------- batch
     def batch_spec(self) -> NamedSharding:
         return _ns(self.mesh, P("data"))

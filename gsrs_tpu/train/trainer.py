@@ -79,9 +79,16 @@ class Trainer:
         if self._shardings is not None:
             self.graph = self._shardings.place_graph(graph)
             if model.ell is not None:
-                model.ell = jax.device_put(
-                    model.ell, self._shardings.replicated()
-                )
+                from gsrs_tpu.ops.ell import EllGraph
+
+                if isinstance(model.ell, EllGraph):
+                    # bucket arrays shard their rows over the whole mesh —
+                    # each device stores ~1/n_devices of the edge slots
+                    model.ell = self._shardings.place_ell(model.ell)
+                else:
+                    model.ell = jax.device_put(
+                        model.ell, self._shardings.replicated()
+                    )
         else:
             self.graph = jax.device_put(graph)
             if model.ell is not None:

@@ -71,7 +71,7 @@ def test_sharded_step_matches_single_device(setup, mesh_shape):
     p_sharded = sh.place_params(
         jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
     )
-    model_sh = build_model(model.cfg, sh.place_graph(graph), ell=jax.device_put(model.ell))
+    model_sh = build_model(model.cfg, sh.place_graph(graph), ell=sh.place_ell(model.ell))
     opt_state = optimizer.init(p_sharded)
     step = make_train_step(model_sh, optimizer, mesh, decay=1e-4)(
         p_sharded, opt_state
@@ -138,12 +138,26 @@ def test_entry_compiles():
     assert np.isfinite(float(out))
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
-def test_shard_map_step_matches_single_device(setup, mesh_shape):
+@pytest.mark.parametrize(
+    "mesh_shape,spmm_mode",
+    [
+        ((2, 4), "ell"),
+        ((4, 2), "ell"),
+        ((1, 8), "ell"),
+        ((8, 1), "ell"),
+        ((2, 4), "segment"),
+        ((4, 2), "segment"),
+    ],
+)
+def test_shard_map_step_matches_single_device(setup, mesh_shape, spmm_mode):
     from gsrs_tpu.parallel.shard_map_train import make_shard_map_train_step
 
     data, graph, model, params, optimizer, batch = setup
-    ref_params, ref_loss = _single_device_step(model, optimizer, params, batch)
+    cfg = dataclasses.replace(model.cfg, spmm_mode=spmm_mode)
+    base_model = build_model(cfg, graph, ell=model.ell)
+    ref_params, ref_loss = _single_device_step(
+        base_model, optimizer, params, batch
+    )
 
     mesh = make_mesh(data_axis=mesh_shape[0], model_axis=mesh_shape[1])
     sh = GraphShardings(mesh)
@@ -151,7 +165,7 @@ def test_shard_map_step_matches_single_device(setup, mesh_shape):
         jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
     )
     opt_state = optimizer.init(p_sharded)
-    model_sh = build_model(model.cfg, graph, ell=model.ell)
+    model_sh = build_model(cfg, graph, ell=model.ell)
     step = make_shard_map_train_step(model_sh, optimizer, mesh, decay=1e-4)(
         p_sharded, opt_state
     )
@@ -374,19 +388,155 @@ def test_sharded_retriever_matches_single_device(tmp_path, setup):
     assert (items_b < data.m_items).all()
 
 
-def test_dist_steps_reject_dropout(setup):
-    """The standalone distributed steps must fail loudly when edge
-    dropout is configured (they'd silently ignore it otherwise)."""
-    from gsrs_tpu.parallel.dist_train import make_train_step
+def _single_device_dropout_step(model, optimizer, params, batch, key, decay=1e-4):
+    users, pos, neg = batch
+
+    def loss_fn(p):
+        loss, aux = model.bpr_loss(p, users, pos, neg, key)
+        return loss + decay * aux["reg"], aux
+
+    opt_state = optimizer.init(params)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), float(loss)
+
+
+@pytest.mark.parametrize("spmm_mode", ["ell", "segment"])
+def test_gspmd_step_dropout_matches_single_device(setup, spmm_mode):
+    """Edge dropout through the standalone GSPMD step: same key → same
+    per-edge keep mask → identical update as the single-device step
+    (kills the round-1 NotImplementedError; the reference's --dropout/
+    --keepprob flags now work in every execution mode)."""
+    data, graph, model, params, optimizer, batch = setup
+    cfg = dataclasses.replace(
+        model.cfg, dropout=True, keep_prob=0.6, spmm_mode=spmm_mode
+    )
+    ell = model.ell if spmm_mode == "ell" else None
+    drop_model = build_model(cfg, graph, ell=ell)
+    key = jax.random.key(11)
+    ref_params, ref_loss = _single_device_dropout_step(
+        drop_model, optimizer, params, batch, key
+    )
+
+    mesh = make_mesh(data_axis=2, model_axis=4)
+    sh = GraphShardings(mesh)
+    p_sharded = sh.place_params(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    )
+    model_sh = build_model(
+        cfg, sh.place_graph(graph),
+        ell=sh.place_ell(model.ell) if spmm_mode == "ell" else None,
+    )
+    opt_state = optimizer.init(p_sharded)
+    step = make_train_step(model_sh, optimizer, mesh, decay=1e-4)(
+        p_sharded, opt_state
+    )
+    batch_s = sh.batch_spec()
+    sharded_batch = tuple(jax.device_put(b, batch_s) for b in batch)
+    new_params, _, loss = step(
+        p_sharded, opt_state, model_sh.graph, model_sh.ell, key, *sharded_batch
+    )
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["user_emb"]),
+        np.asarray(ref_params["user_emb"]),
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("spmm_mode", ["ell", "segment"])
+def test_shard_map_step_dropout_matches_single_device(setup, spmm_mode):
+    """Edge dropout through the explicit shard_map step: the replicated
+    key reproduces the canonical keep mask on every device, so the
+    sharded dropped-graph update equals the single-device one."""
     from gsrs_tpu.parallel.shard_map_train import make_shard_map_train_step
 
-    data, graph, model, params, optimizer, _ = setup
-    drop_model = build_model(
-        dataclasses.replace(model.cfg, dropout=True),
-        graph, ell=model.ell,
+    data, graph, model, params, optimizer, batch = setup
+    cfg = dataclasses.replace(
+        model.cfg, dropout=True, keep_prob=0.6, spmm_mode=spmm_mode
     )
+    drop_model = build_model(cfg, graph, ell=model.ell)
+    key = jax.random.key(13)
+    ref_params, ref_loss = _single_device_dropout_step(
+        drop_model, optimizer, params, batch, key
+    )
+
     mesh = make_mesh(data_axis=2, model_axis=4)
-    with pytest.raises(NotImplementedError, match="dropout"):
-        make_train_step(drop_model, optimizer, mesh, decay=1e-4)
-    with pytest.raises(NotImplementedError, match="dropout"):
-        make_shard_map_train_step(drop_model, optimizer, mesh, decay=1e-4)
+    sh = GraphShardings(mesh)
+    p_sharded = sh.place_params(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    )
+    opt_state = optimizer.init(p_sharded)
+    model_sh = build_model(cfg, graph, ell=model.ell)
+    step = make_shard_map_train_step(model_sh, optimizer, mesh, decay=1e-4)(
+        p_sharded, opt_state
+    )
+    batch_s = sh.batch_spec()
+    sharded_batch = tuple(jax.device_put(b, batch_s) for b in batch)
+    new_params, _, loss = step(p_sharded, opt_state, graph, key, *sharded_batch)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["user_emb"]),
+        np.asarray(ref_params["user_emb"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["item_emb"]),
+        np.asarray(ref_params["item_emb"]),
+        atol=1e-5,
+    )
+
+
+def test_ell_sharding_stores_fraction_per_device(setup):
+    """The GSPMD ELL placement must actually shard storage: every bucket
+    array's per-device shard holds ~1/n_devices of its rows (this is the
+    layout tools/stress_pod.py's memory plan assumes)."""
+    data, graph, model, params, _, _ = setup
+    mesh = make_mesh(data_axis=2, model_axis=4)
+    sh = GraphShardings(mesh)
+    placed = sh.place_ell(model.ell)
+    n_dev = mesh.size
+    for side in (placed.by_user, placed.by_item):
+        for b in side.buckets:
+            rows = b.cols.shape[0]
+            shard_rows = max(
+                s.data.shape[0] for s in b.cols.addressable_shards
+            )
+            assert shard_rows <= -(-rows // n_dev), (rows, shard_rows)
+
+
+def test_shard_ell_graph_roundtrip(setup):
+    """shard_ell_graph's chunked layout reproduces the single-device ELL
+    SpMM exactly: summing the per-shard assembled partials equals
+    ell_propagate_layer (host-side check, no mesh needed)."""
+    from gsrs_tpu.ops.ell import (
+        apply_sharded_side_local,
+        ell_propagate_layer,
+        shard_ell_graph,
+    )
+
+    data, graph, model, params, _, _ = setup
+    ell = model.ell
+    x_items = jnp.asarray(
+        np.random.default_rng(0).normal(size=(data.m_items, 8)).astype(np.float32)
+    )
+    ref = ell_propagate_layer(ell, params["user_emb"], x_items, None)[0]
+
+    for n_shards in (1, 3, 8):
+        sell = shard_ell_graph(ell, n_shards)
+        total = jnp.zeros_like(ref)
+        for s in range(n_shards):
+            side = sell.by_user
+            cols = tuple(
+                c.reshape(n_shards, -1, c.shape[1])[s] for c in side.cols
+            )
+            w = tuple(a.reshape(n_shards, -1, a.shape[1])[s] for a in side.w)
+            ei = tuple(
+                a.reshape(n_shards, -1, a.shape[1])[s] for a in side.eidx
+            )
+            total = total + apply_sharded_side_local(
+                cols, w, ei, side.assemble[s], x_items, None
+            )
+        np.testing.assert_allclose(
+            np.asarray(total), np.asarray(ref), atol=1e-5
+        )

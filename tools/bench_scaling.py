@@ -72,7 +72,7 @@ def main():
         mesh = make_mesh(data_axis=data_axis, model_axis=model_axis)
         sh = GraphShardings(mesh)
 
-        model = build_model(model_cfg, sh.place_graph(graph), ell=jax.device_put(ell))
+        model = build_model(model_cfg, sh.place_graph(graph), ell=sh.place_ell(ell))
         params = sh.place_params(model.init_params(jax.random.key(0)))
         opt_state = optimizer.init(params)
         step = make_train_step(model, optimizer, mesh, decay=1e-4)(params, opt_state)

@@ -217,7 +217,7 @@ def main() -> None:
         num_layers=args.layers, embedding_dim=args.dim, bf16_compute=True
     )
     optimizer, _ = make_optimizer(TrainConfig(lr=1e-3), steps_per_epoch=1)
-    model = build_model(model_cfg, sh.place_graph(graph), ell=jax.device_put(ell))
+    model = build_model(model_cfg, sh.place_graph(graph), ell=sh.place_ell(ell))
     params = sh.place_params(model.init_params(jax.random.key(0)))
     opt_state = optimizer.init(params)
     step = make_train_step(model, optimizer, mesh, decay=1e-4)(params, opt_state)
