@@ -129,8 +129,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--spmm",
         type=str,
         default="ell",
-        choices=["ell", "segment"],
-        help="propagation SpMM implementation (ell = scatter-free TPU path)",
+        choices=["ell", "hybrid", "segment"],
+        help="propagation SpMM implementation (ell = scatter-free TPU "
+        "path; hybrid = dense MXU hub blocks + residual ELL)",
+    )
+    p.add_argument(
+        "--hybrid_cols",
+        type=int,
+        default=8192,
+        help="hub columns per direction for --spmm hybrid",
     )
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument(
@@ -202,6 +209,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             ug_sift_pos=args.ug_sift_pos,
             bf16_compute=args.bf16,
             spmm_mode=args.spmm,
+            hybrid_cols=args.hybrid_cols,
         ),
         train=TrainConfig(
             batch_size=args.bpr_batch,
@@ -301,10 +309,21 @@ def main(argv: Optional[list] = None) -> None:
         except Exception as e:  # tolerate like reference code/model.py:107-109
             print(f"[i2i] WARNING: cannot load {cfg.model.i2i_path}: {e}")
     ell = None
-    if cfg.model.spmm_mode == "ell" and cfg.model.model != "ultragcn":
-        from gsrs_tpu.ops.ell import ell_from_interactions
+    if cfg.model.model != "ultragcn":
+        if cfg.model.spmm_mode == "ell":
+            from gsrs_tpu.ops.ell import ell_from_interactions
 
-        ell = ell_from_interactions(data)
+            ell = ell_from_interactions(data)
+        elif cfg.model.spmm_mode == "hybrid":
+            import jax.numpy as _jnp
+
+            from gsrs_tpu.ops.hybrid import hybrid_from_interactions
+
+            ell = hybrid_from_interactions(
+                data,
+                cols=cfg.model.hybrid_cols,
+                dtype=_jnp.bfloat16 if cfg.model.bf16_compute else _jnp.float32,
+            )
     model = build_model(
         cfg.model, graph, i2i, ell, cache_dir=cfg.data.dataset_dir
     )

@@ -135,10 +135,15 @@ class ModelConfig:
     bf16_compute: bool = False
 
     # SpMM implementation for propagation: 'ell' (scatter-free bucketed
-    # gather, the fast TPU path — gsrs_tpu.ops.ell) or 'segment'
-    # (segment-sum reference path — gsrs_tpu.ops.spmm). Validated by
-    # LightGCN.__init__.
+    # gather — gsrs_tpu.ops.ell), 'hybrid' (dense MXU blocks for the
+    # top-`hybrid_cols` hub columns per direction + residual ELL —
+    # gsrs_tpu.ops.hybrid, the fastest single-chip path on power-law
+    # graphs) or 'segment' (segment-sum reference path — gsrs_tpu.ops.
+    # spmm). Validated by LightGCN.__init__.
     spmm_mode: str = "ell"
+    # Hub columns per direction for spmm_mode='hybrid' (rounded to a
+    # multiple of 128; clipped to the catalog size).
+    hybrid_cols: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)

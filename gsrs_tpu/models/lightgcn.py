@@ -92,11 +92,17 @@ class LightGCN:
         i2i: Optional[ItemItemGraph] = None,
         ell: Optional[EllGraph] = None,
     ):
-        if cfg.spmm_mode not in ("ell", "segment"):
+        if cfg.spmm_mode not in ("ell", "hybrid", "segment"):
             raise ValueError(
-                f"spmm_mode must be 'ell' or 'segment', got "
+                f"spmm_mode must be 'ell', 'hybrid' or 'segment', got "
                 f"'{cfg.spmm_mode}' (an unknown mode would silently run "
                 f"the slow segment path)"
+            )
+        if cfg.spmm_mode == "hybrid" and cfg.dropout:
+            raise ValueError(
+                "spmm_mode='hybrid' does not support edge dropout (a "
+                "per-cell mask would need an eidx matrix as large as the "
+                "dense hub block) — use --spmm ell with --dropout"
             )
         self.cfg = cfg
         self.graph = graph
@@ -109,6 +115,14 @@ class LightGCN:
             from gsrs_tpu.ops.ell import ell_from_graph
 
             ell = ell_from_graph(graph)
+        if ell is None and cfg.spmm_mode == "hybrid" and cfg.num_layers > 0:
+            from gsrs_tpu.ops.hybrid import hybrid_from_graph
+
+            ell = hybrid_from_graph(
+                graph,
+                cols=cfg.hybrid_cols,
+                dtype=jnp.bfloat16 if cfg.bf16_compute else jnp.float32,
+            )
         self.ell = ell
         self.i2i = i2i if (cfg.use_item_item and i2i is not None) else None
         self.n_users = graph.n_users
@@ -160,12 +174,21 @@ class LightGCN:
         defaults to the graph bound at construction."""
         graph = self.graph if graph is None else graph
         ell = self.ell if ell is None else ell
-        use_ell = self.cfg.spmm_mode == "ell" and self.cfg.num_layers > 0
+        use_ell = (
+            self.cfg.spmm_mode in ("ell", "hybrid")
+            and self.cfg.num_layers > 0
+        )
         if use_ell and ell is None:
             raise ValueError(
-                "spmm_mode='ell' but the model was built without an EllGraph;"
-                " pass ell=ell_from_interactions(data) or use 'segment'"
+                f"spmm_mode='{self.cfg.spmm_mode}' but the model was built "
+                "without a graph layout; pass ell=ell_from_interactions("
+                "data) / hybrid_from_interactions(data) or use 'segment'"
             )
+        use_hybrid = False
+        if use_ell:
+            from gsrs_tpu.ops.hybrid import HybridGraph, hybrid_propagate_layer
+
+            use_hybrid = isinstance(ell, HybridGraph)
         u = params["user_emb"]
         i = params["item_emb"]
         if self.cfg.bf16_compute:
@@ -185,7 +208,9 @@ class LightGCN:
         acc_u, acc_i = u, i
         cur_u, cur_i = u, i
         for _ in range(self.cfg.num_layers):
-            if use_ell:
+            if use_hybrid:
+                cur_u, cur_i = hybrid_propagate_layer(ell, cur_u, cur_i)
+            elif use_ell:
                 cur_u, cur_i = ell_propagate_layer(ell, cur_u, cur_i, keep)
             else:
                 cur_u, cur_i = propagate_layer(graph, cur_u, cur_i, edge_masks)

@@ -1,0 +1,216 @@
+"""Hybrid SpMM: dense MXU blocks for hub columns + residual ELL.
+
+The ELL gather path is issue-rate bound on TPU (~300M gathered rows/s
+measured on v5e regardless of dtype — BENCH_NOTES round 1), which caps
+SpMM at an effective ~20-80 GB/s. A dense matmul streams at full HBM
+bandwidth (~800 GB/s). Break-even density for replacing gathers with a
+dense block is therefore only ~0.08% nonzeros; recommendation graphs are
+power-law, so the top few thousand hub columns of each propagation
+direction sit at 0.2-1.5% density — 3-5× past break-even.
+
+Split each direction ``W`` (users ← items) into
+``W = W_dense + W_residual``:
+
+- ``W_dense``: the submatrix over the top-C highest-degree SOURCE
+  columns, materialized as a dense (n_rows, C) matrix in the compute
+  dtype. Applying it is ``dense @ x[top_ids]`` — one (n_rows, C)×(C, d)
+  MXU matmul; bandwidth-bound on streaming ``dense`` at full HBM speed.
+- ``W_residual``: everything else, in the scatter-free bucketed-ELL
+  layout (`gsrs_tpu.ops.ell`), with BOTH sort orders over the SAME
+  residual edge set so the backward pass stays scatter-free.
+
+The two directions have different hub sets (popular items vs heavy
+users), so each direction carries its own residual EllGraph (its
+``by_user`` slot = forward gather layout, ``by_item`` slot = transpose
+layout for the VJP).
+
+Backward: d(x)ᵀ of the dense part is ``W_denseᵀ @ ĝ`` accumulated into
+the C hub rows of the cotangent — a (C, n_rows)×(n_rows, d) matmul plus
+a C-row scatter-add (C ≈ 8-16k rows: negligible next to the millions of
+edge gathers it replaces). The edge weights are graph constants, so no
+gradient flows to ``dense`` itself.
+
+Replaces the same reference hot loop as ops/ell.py
+(``torch.sparse.mm``, reference code/model.py:216-218). Edge dropout is
+not supported in hybrid mode (a per-cell mask would need an eidx matrix
+as large as the dense block); the model falls back to ELL when dropout
+is configured.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsrs_tpu.ops.ell import EllGraph, _apply_side, _build_side
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HybridDirection:
+    """One propagation direction (dst ← src)."""
+
+    residual: EllGraph  # by_user = dst-side (forward), by_item = src-side (VJP)
+    dense: jax.Array  # (n_dst, C) compute-dtype hub-column weights
+    top_src: jax.Array  # (C,) int32 source ids of the dense columns
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HybridGraph:
+    user_from_item: HybridDirection  # computes new_u = W @ item_emb
+    item_from_user: HybridDirection  # computes new_i = Wᵀ @ user_emb
+    n_users: int = dataclasses.field(metadata=dict(static=True))
+    m_items: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _build_direction(
+    dst: np.ndarray,
+    src: np.ndarray,
+    w: np.ndarray,
+    n_dst: int,
+    n_src: int,
+    src_degrees: np.ndarray,
+    cols: int,
+    dtype,
+    min_width: int,
+) -> HybridDirection:
+    c = int(min(cols, n_src))
+    # round down to a lane-friendly multiple (keep small graphs exact)
+    if c >= 128 and c < n_src:
+        c = (c // 128) * 128
+    top = np.argsort(src_degrees, kind="stable")[::-1][:c].astype(np.int32)
+    rank = np.full(n_src, -1, dtype=np.int64)
+    rank[top] = np.arange(c)
+    in_dense = rank[src] >= 0
+
+    dense = np.zeros((n_dst, c), dtype=dtype)
+    dense[dst[in_dense], rank[src[in_dense]]] = w[in_dense].astype(dtype)
+
+    res = ~in_dense
+    eidx = np.arange(res.sum(), dtype=np.int32)
+    residual = EllGraph(
+        by_user=_build_side(
+            dst[res], src[res], w[res], eidx, n_dst, min_width
+        ),
+        by_item=_build_side(
+            src[res], dst[res], w[res], eidx, n_src, min_width
+        ),
+        n_users=n_dst,
+        m_items=n_src,
+    )
+    return HybridDirection(
+        residual=residual,
+        dense=dense,
+        top_src=top,
+    )
+
+
+def hybrid_from_interactions(
+    data, cols: int = 8192, dtype=np.float32, min_width: int = 4
+) -> HybridGraph:
+    """Build from an InteractionData with the reference's exact
+    normalization (same weights as ops.ell.ell_from_interactions)."""
+    from gsrs_tpu.data.adjacency import normalized_edge_weights
+
+    w = normalized_edge_weights(
+        data.train_users, data.train_items, data.user_degrees, data.item_degrees
+    ).astype(np.float32)
+    users = data.train_users.astype(np.int32)
+    items = data.train_items.astype(np.int32)
+    item_deg = np.bincount(items, minlength=data.m_items)
+    user_deg = np.bincount(users, minlength=data.n_users)
+    return HybridGraph(
+        user_from_item=_build_direction(
+            users, items, w, data.n_users, data.m_items, item_deg,
+            cols, dtype, min_width,
+        ),
+        item_from_user=_build_direction(
+            items, users, w, data.m_items, data.n_users, user_deg,
+            cols, dtype, min_width,
+        ),
+        n_users=data.n_users,
+        m_items=data.m_items,
+    )
+
+
+def hybrid_from_graph(
+    graph, cols: int = 8192, dtype=np.float32, min_width: int = 4
+) -> HybridGraph:
+    """Build from a BipartiteGraph's padded edge arrays (inverting the
+    by-user sort back to canonical order, dropping padding) — the
+    convenience mirror of ops.ell.ell_from_graph."""
+    sorted_u = np.asarray(graph.edge_u_by_u)
+    sorted_i = np.asarray(graph.edge_i_by_u)
+    sorted_w = np.asarray(graph.edge_w_by_u)
+    perm = np.asarray(graph.perm_by_u)
+    E = sorted_u.shape[0]
+    users = np.empty(E, sorted_u.dtype)
+    items = np.empty(E, sorted_i.dtype)
+    w = np.empty(E, sorted_w.dtype)
+    users[perm] = sorted_u
+    items[perm] = sorted_i
+    w[perm] = sorted_w
+    n = graph.n_edges
+    users, items, w = users[:n], items[:n], w[:n]
+    item_deg = np.bincount(items, minlength=graph.m_items)
+    user_deg = np.bincount(users, minlength=graph.n_users)
+    return HybridGraph(
+        user_from_item=_build_direction(
+            users, items, w, graph.n_users, graph.m_items, item_deg,
+            cols, dtype, min_width,
+        ),
+        item_from_user=_build_direction(
+            items, users, w, graph.m_items, graph.n_users, user_deg,
+            cols, dtype, min_width,
+        ),
+        n_users=graph.n_users,
+        m_items=graph.m_items,
+    )
+
+
+def _apply_direction(d: HybridDirection, x: jax.Array) -> jax.Array:
+    out = _apply_side(d.residual.by_user, x, None)
+    hub = jnp.take(x, d.top_src, axis=0)  # (C, d) — tiny gather
+    return out + jnp.dot(
+        d.dense.astype(x.dtype), hub, preferred_element_type=out.dtype
+    )
+
+
+def _apply_direction_t(d: HybridDirection, g: jax.Array) -> jax.Array:
+    """Wᵀ @ g for one direction: transpose-ELL gather + dense-block
+    transpose matmul accumulated into the C hub rows."""
+    out = _apply_side(d.residual.by_item, g, None)
+    hub_cot = jnp.dot(
+        d.dense.astype(g.dtype).T, g, preferred_element_type=out.dtype
+    )  # (C, d)
+    return out.at[d.top_src].add(hub_cot)
+
+
+@jax.custom_vjp
+def hybrid_propagate_layer(
+    hg: HybridGraph, user_emb: jax.Array, item_emb: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """One LightGCN layer: new_u = W @ item_emb, new_i = Wᵀ @ user_emb,
+    hub columns on the MXU, residual edges scatter-free in both passes."""
+    new_u = _apply_direction(hg.user_from_item, item_emb)
+    new_i = _apply_direction(hg.item_from_user, user_emb)
+    return new_u, new_i
+
+
+def _fwd(hg, user_emb, item_emb):
+    return hybrid_propagate_layer(hg, user_emb, item_emb), hg
+
+
+def _bwd(hg, cot):
+    g_u, g_i = cot
+    d_item = _apply_direction_t(hg.user_from_item, g_u)
+    d_user = _apply_direction_t(hg.item_from_user, g_i)
+    return None, d_user, d_item
+
+
+hybrid_propagate_layer.defvjp(_fwd, _bwd)

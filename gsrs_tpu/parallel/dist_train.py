@@ -64,8 +64,21 @@ def make_train_step(
         # models without an ELL layout (UltraGCN's TrainBitset slot, or
         # spmm_mode='segment') replicate whatever rides in the slot.
         from gsrs_tpu.ops.ell import EllGraph
+        from gsrs_tpu.ops.hybrid import HybridGraph
 
-        if isinstance(model.ell, EllGraph):
+        if isinstance(model.ell, HybridGraph):
+            n_dev = mesh.size
+            for d in (model.ell.user_from_item, model.ell.item_from_user):
+                for side in (d.residual.by_user, d.residual.by_item):
+                    for b in side.buckets:
+                        if b.cols.shape[0] % n_dev:
+                            raise ValueError(
+                                "hybrid residual ELL bucket rows must be a "
+                                f"multiple of the mesh size ({n_dev}) — "
+                                "place with GraphShardings.place_ell"
+                            )
+            ell_spec = sh.hybrid_spec(model.ell)
+        elif isinstance(model.ell, EllGraph):
             n_dev = mesh.size
             for side in (model.ell.by_user, model.ell.by_item):
                 for b in side.buckets:

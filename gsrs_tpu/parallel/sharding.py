@@ -83,6 +83,38 @@ class GraphShardings:
         )
 
     # ---------------------------------------------------------------- ell
+    def hybrid_spec(self, hg: Any) -> Any:
+        """Sharding pytree for a HybridGraph: each direction's dense hub
+        block shards its COLUMN axis over the whole mesh (the destination
+        row count is arbitrary, but C is built as a multiple of 128, so
+        columns split evenly; GSPMD turns the hub matmul into local
+        partial products + a psum over the contraction slices), top_src
+        replicates (C ids), and the residual EllGraph shards like
+        ell_spec. Graphs too small for an even column split (C not a
+        mesh-size multiple) replicate the dense block — it is tiny there."""
+        from gsrs_tpu.ops.hybrid import HybridDirection
+
+        rep = _ns(self.mesh, P())
+
+        def dir_spec(d: HybridDirection) -> HybridDirection:
+            cols = (
+                _ns(self.mesh, P(None, ("data", "model")))
+                if d.dense.shape[1] % self.mesh.size == 0
+                else rep
+            )
+            return dataclasses.replace(
+                d,
+                residual=self.ell_spec(d.residual),
+                dense=cols,
+                top_src=rep,
+            )
+
+        return dataclasses.replace(
+            hg,
+            user_from_item=dir_spec(hg.user_from_item),
+            item_from_user=dir_spec(hg.item_from_user),
+        )
+
     def ell_spec(self, ell: Any) -> Any:
         """Sharding pytree for an EllGraph: every bucket array (rows,
         cols, w, eidx — the O(edges) memory) shards its leading axis over
@@ -118,7 +150,26 @@ class GraphShardings:
         The returned (padded) EllGraph is what must be passed to the
         sharded step — its shapes define the compiled program."""
         from gsrs_tpu.ops.ell import pad_ell_graph
+        from gsrs_tpu.ops.hybrid import HybridGraph
 
+        if isinstance(ell, HybridGraph):
+            ell = dataclasses.replace(
+                ell,
+                user_from_item=dataclasses.replace(
+                    ell.user_from_item,
+                    residual=pad_ell_graph(
+                        ell.user_from_item.residual, self.mesh.size
+                    ),
+                ),
+                item_from_user=dataclasses.replace(
+                    ell.item_from_user,
+                    residual=pad_ell_graph(
+                        ell.item_from_user.residual, self.mesh.size
+                    ),
+                ),
+            )
+            spec = self.hybrid_spec(ell)
+            return jax.tree_util.tree_map(jax.device_put, ell, spec)
         ell = pad_ell_graph(ell, self.mesh.size)
         spec = self.ell_spec(ell)
         return jax.tree_util.tree_map(jax.device_put, ell, spec)

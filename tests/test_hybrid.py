@@ -1,0 +1,190 @@
+"""Hybrid SpMM (dense hub blocks + residual ELL, ops/hybrid.py): must be
+numerically equivalent to the pure-ELL / segment-sum formulations in both
+the forward pass and the custom-VJP backward pass, end-to-end through the
+model and the GSPMD distributed step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gsrs_tpu.config import ModelConfig, TrainConfig
+from gsrs_tpu.data.adjacency import build_graph
+from gsrs_tpu.data.synthetic import clustered
+from gsrs_tpu.models.registry import build_model
+from gsrs_tpu.ops.ell import ell_from_interactions, ell_propagate_layer
+from gsrs_tpu.ops.hybrid import (
+    HybridGraph,
+    hybrid_from_interactions,
+    hybrid_propagate_layer,
+)
+from gsrs_tpu.train.optim import make_optimizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = clustered(64, 96, n_clusters=4, seed=3)
+    graph = build_graph(data, edge_pad_multiple=256)
+    return data, graph
+
+
+@pytest.mark.parametrize("cols", [8, 32, 96, 8192])
+def test_hybrid_layer_matches_ell(setup, cols):
+    data, graph = setup
+    ell = ell_from_interactions(data)
+    hg = hybrid_from_interactions(data, cols=cols)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(data.n_users, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(data.m_items, 8)).astype(np.float32))
+    ref_u, ref_i = ell_propagate_layer(ell, u, x, None)
+    got_u, got_i = hybrid_propagate_layer(hg, u, x)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i), atol=1e-5)
+
+
+def test_hybrid_vjp_matches_ell(setup):
+    """The scatter-free custom VJP (transpose-ELL + dense-transpose
+    matmul) must produce the same input gradients as the ELL custom VJP."""
+    data, graph = setup
+    ell = ell_from_interactions(data)
+    hg = hybrid_from_interactions(data, cols=32)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(data.n_users, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(data.m_items, 8)).astype(np.float32))
+
+    def f_ell(u, x):
+        nu, ni = ell_propagate_layer(ell, u, x, None)
+        return jnp.sum(nu**2) + jnp.sum(jnp.sin(ni))
+
+    def f_hyb(u, x):
+        nu, ni = hybrid_propagate_layer(hg, u, x)
+        return jnp.sum(nu**2) + jnp.sum(jnp.sin(ni))
+
+    gu_ref, gx_ref = jax.grad(f_ell, argnums=(0, 1))(u, x)
+    gu, gx = jax.grad(f_hyb, argnums=(0, 1))(u, x)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(gu_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4)
+
+
+def test_hybrid_train_step_matches_ell(setup):
+    """One full BPR optimizer step through the model must agree between
+    spmm_mode='hybrid' and 'ell' (same init, same batch)."""
+    data, graph = setup
+    cfg_ell = ModelConfig(num_layers=3, embedding_dim=8, spmm_mode="ell")
+    cfg_hyb = dataclasses.replace(cfg_ell, spmm_mode="hybrid", hybrid_cols=16)
+    m_ell = build_model(cfg_ell, graph, ell=ell_from_interactions(data))
+    m_hyb = build_model(
+        cfg_hyb, graph, ell=hybrid_from_interactions(data, cols=16)
+    )
+    params = m_ell.init_params(jax.random.key(0))
+    optimizer, _ = make_optimizer(TrainConfig(lr=1e-2), steps_per_epoch=1)
+    rng = np.random.default_rng(2)
+    users = jnp.asarray(rng.integers(0, data.n_users, 64, dtype=np.int32))
+    pos = jnp.asarray(rng.integers(0, data.m_items, 64, dtype=np.int32))
+    neg = jnp.asarray(rng.integers(0, data.m_items, 64, dtype=np.int32))
+
+    def one_step(model, p):
+        def loss_fn(p):
+            loss, aux = model.bpr_loss(p, users, pos, neg)
+            return loss + 1e-4 * aux["reg"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        opt_state = optimizer.init(p)
+        updates, _ = optimizer.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), float(loss)
+
+    p_ell, l_ell = one_step(m_ell, params)
+    p_hyb, l_hyb = one_step(m_hyb, params)
+    np.testing.assert_allclose(l_hyb, l_ell, rtol=1e-5)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(p_hyb[k]), np.asarray(p_ell[k]), atol=1e-5, err_msg=k
+        )
+
+
+def test_hybrid_auto_derive_and_validation(setup):
+    data, graph = setup
+    cfg = ModelConfig(num_layers=2, embedding_dim=8, spmm_mode="hybrid",
+                      hybrid_cols=16)
+    model = build_model(cfg, graph)  # auto-derives the HybridGraph
+    assert isinstance(model.ell, HybridGraph)
+    with pytest.raises(ValueError, match="dropout"):
+        build_model(dataclasses.replace(cfg, dropout=True), graph)
+
+
+def test_hybrid_dense_residual_split_covers_all_edges(setup):
+    """Every interaction appears exactly once across dense + residual of
+    each direction (no edge lost, none double-counted)."""
+    data, graph = setup
+    hg = hybrid_from_interactions(data, cols=32)
+    E = data.train_users.size
+    for d in (hg.user_from_item, hg.item_from_user):
+        n_dense = int((np.asarray(d.dense) != 0).sum())
+        n_res = sum(
+            int((np.asarray(b.w) != 0).sum())
+            for b in d.residual.by_user.buckets
+        )
+        assert n_dense + n_res == E, (n_dense, n_res, E)
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (8, 1)])
+def test_hybrid_gspmd_step_matches_single_device(setup, mesh_shape):
+    from gsrs_tpu.parallel.dist_train import make_train_step
+    from gsrs_tpu.parallel.mesh import make_mesh
+    from gsrs_tpu.parallel.sharding import GraphShardings
+
+    data, graph = setup
+    cfg = ModelConfig(num_layers=2, embedding_dim=8, spmm_mode="hybrid",
+                      hybrid_cols=16)
+    hg = hybrid_from_interactions(data, cols=16)
+    model = build_model(cfg, graph, ell=hg)
+    params = model.init_params(jax.random.key(0))
+    optimizer, _ = make_optimizer(TrainConfig(lr=1e-2), steps_per_epoch=1)
+    rng = np.random.default_rng(4)
+    users = jnp.asarray(rng.integers(0, data.n_users, 64, dtype=np.int32))
+    pos = jnp.asarray(rng.integers(0, data.m_items, 64, dtype=np.int32))
+    neg = jnp.asarray(rng.integers(0, data.m_items, 64, dtype=np.int32))
+
+    def loss_fn(p):
+        loss, aux = model.bpr_loss(p, users, pos, neg)
+        return loss + 1e-4 * aux["reg"], aux
+
+    opt_state0 = optimizer.init(params)
+    (ref_loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, _ = optimizer.update(grads, opt_state0, params)
+    ref_params = optax.apply_updates(params, updates)
+
+    mesh = make_mesh(data_axis=mesh_shape[0], model_axis=mesh_shape[1])
+    sh = GraphShardings(mesh)
+    p_sharded = sh.place_params(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    )
+    model_sh = build_model(cfg, sh.place_graph(graph), ell=sh.place_ell(hg))
+    opt_state = optimizer.init(p_sharded)
+    step = make_train_step(model_sh, optimizer, mesh, decay=1e-4)(
+        p_sharded, opt_state
+    )
+    batch_s = sh.batch_spec()
+    new_params, _, loss = step(
+        p_sharded, opt_state, model_sh.graph, model_sh.ell,
+        jax.device_put(users, batch_s),
+        jax.device_put(pos, batch_s),
+        jax.device_put(neg, batch_s),
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["user_emb"]),
+        np.asarray(ref_params["user_emb"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["item_emb"]),
+        np.asarray(ref_params["item_emb"]),
+        atol=1e-5,
+    )
