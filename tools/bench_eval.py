@@ -98,14 +98,23 @@ def main():
     cfg = ModelConfig(num_layers=3, embedding_dim=64, bf16_compute=True)
     model = build_model(cfg, graph, ell=ell_from_interactions(data))
     if args.checkpoint_dir:
-        from gsrs_tpu.train.checkpoint import CheckpointManager
+        # restore through the Trainer so the template matches the full
+        # train-state layout the trainer checkpoints (params+opt_state)
+        from gsrs_tpu.config import ExperimentConfig, TrainConfig
+        from gsrs_tpu.train.trainer import Trainer
 
-        ck = CheckpointManager(args.checkpoint_dir)
-        tmpl = {"params": model.init_params(jax.random.key(0))}
-        path = ck.resolve_resume_path(None, "unused")
-        restored = ck.restore(path, tmpl)
-        params = restored["params"]
-        print(f"[params] restored {path}")
+        tcfg = ExperimentConfig(
+            model=cfg,
+            train=TrainConfig(
+                checkpoint_dir=args.checkpoint_dir,
+                resume=True,
+                tensorboard=False,
+            ),
+        )
+        tr = Trainer(tcfg, data, graph, model, run_eval=False)
+        state = tr.maybe_resume(tr.init_state())
+        params = state.params
+        print(f"[params] restored {args.checkpoint_dir} @ epoch {state.epoch}")
     else:
         params = model.init_params(jax.random.key(0))
         print("[params] RANDOM (quality deltas vacuous; timing valid)")

@@ -40,8 +40,46 @@ def device_mem_gib():
         return None
 
 
+def drive():
+    """Run every (shape, spmm, batch) config in its OWN subprocess: a TPU
+    worker crash (or tunnel fault) kills one config, not the sweep, and
+    the next subprocess re-acquires the chip after a grace wait."""
+    import subprocess
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spmm", nargs="+", default=["ell", "hybrid"])
+    ap.add_argument("--batch", type=int, nargs="+", default=[2048, 8192])
+    ap.add_argument("--shapes", nargs="+", default=list(SHAPES))
+    ap.add_argument("--timed_epochs", type=int, default=2)
+    ap.add_argument("--hybrid_cols", type=int, default=8192)
+    args = ap.parse_args()
+
+    for shape in args.shapes:
+        for spmm in args.spmm:
+            for b in args.batch:
+                cmd = [
+                    sys.executable, os.path.abspath(__file__), "--single",
+                    "--shapes", shape, "--spmm", spmm, "--batch", str(b),
+                    "--timed_epochs", str(args.timed_epochs),
+                    "--hybrid_cols", str(args.hybrid_cols),
+                ]
+                for attempt in (1, 2):
+                    try:
+                        r = subprocess.run(cmd, timeout=900)
+                        if r.returncode == 0:
+                            break
+                    except subprocess.TimeoutExpired:
+                        pass
+                    print(json.dumps({
+                        "shape": shape, "spmm": spmm, "batch": b,
+                        "attempt": attempt, "result": "FAILED",
+                    }), flush=True)
+                    time.sleep(60)  # grant-release grace before retrying
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--single", action="store_true")
     ap.add_argument("--spmm", nargs="+", default=["ell", "hybrid"])
     ap.add_argument("--batch", type=int, nargs="+", default=[2048, 8192])
     ap.add_argument("--shapes", nargs="+", default=list(SHAPES))
@@ -128,4 +166,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--single" in sys.argv:
+        main()
+    else:
+        drive()

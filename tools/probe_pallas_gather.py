@@ -73,7 +73,7 @@ def main():
             return acc + jnp.sum(row_val)
 
         acc = jax.lax.fori_loop(0, B, body, jnp.float32(0.0))
-        out_ref[0] = acc
+        out_ref[i] = acc
 
     x = jnp.asarray(np.random.default_rng(0).normal(size=(N, D)).astype(np.float32))
     idx = jnp.asarray(np.random.default_rng(1).integers(0, N, M).astype(np.int32))
@@ -82,8 +82,11 @@ def main():
         num_scalar_prefetch=1,
         grid=(M // B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        # full-array output block (rank-1 blocks must be the whole axis or
+        # a multiple of 128; one scalar per grid step is neither, and the
+        # whole (M//B,) f32 vector is only KBs of VMEM)
         out_specs=pl.BlockSpec(
-            (1,), lambda i, *_: (i,), memory_space=pltpu.VMEM
+            (M // B,), lambda i, *_: (0,), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * K, D), jnp.float32),
