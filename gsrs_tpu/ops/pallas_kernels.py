@@ -55,13 +55,18 @@ def masked_scores_pallas(
     bitset_rows: jax.Array,  # (B, ceil(m/32)) uint32 (m must be padded to 32·k
     #                           for the kernel; caller slices the output)
     block_b: int = 256,
-    block_m: int = 2048,
+    block_m: int = 4096,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused U @ I^T with train-positive masking. Both axes pad internally:
     the user batch up to a block_b multiple (pad rows computed then sliced
     off) and the catalog up to 32·W then a block_m multiple (pad columns
-    mask to NEG_INF and are sliced off); callers get exactly (B, m)."""
+    mask to NEG_INF and are sliced off); callers get exactly (B, m).
+    Compiled-mode constraint: the bitset block's last dimension is
+    block_m//32 words, and Mosaic requires last-dim blocks divisible by
+    128 or covering the whole array — so block_m must be a multiple of
+    4096 (= 128 words) unless one block spans the entire padded catalog
+    (small-shape/interpret cases). Validated below after padding."""
     B, d = user_emb.shape
     m = item_emb.shape[0]
     W = bitset_rows.shape[1]
@@ -76,6 +81,12 @@ def masked_scores_pallas(
     # off anyway)
     wpb = block_m // 32
     W_pad = -(-W // wpb) * wpb
+    if wpb % 128 and wpb != W_pad:
+        raise ValueError(
+            f"block_m={block_m} gives a {wpb}-word bitset block; Mosaic "
+            "needs last-dim blocks divisible by 128 words (block_m "
+            "multiple of 4096) or a single block spanning the catalog"
+        )
     if W_pad != W:
         import numpy as np
 
