@@ -10,16 +10,20 @@ midpoint 33.5 s. ``vs_baseline`` is the speedup factor
 
 The measured config is the fastest one that holds QUALITY PARITY with
 the reference's published Gowalla numbers (recall@20 0.1825): 3 layers,
-dim 64, batch 8192, hybrid SpMM (dense MXU hub blocks + residual ELL,
+dim 64, batch 16384, hybrid SpMM (dense MXU hub blocks + residual ELL,
 8192 hub columns/direction), bf16, full 810,128-interaction epochs,
 uniform negative sampling — sampling is *included* in our epoch time
-(it runs on-device). Parity evidence: results/b8192-parity.log +
-results/b8192-parity-valid.csv (lr 2e-3 = sqrt-scaled from the
-reference's 1e-3 at 4x batch, MultiStepLR [425,550,675] gamma 0.5 —
+(it runs on-device). Parity evidence: results/b16384-parity.log +
+results/b16384-parity-valid.csv (best recall@20 0.182745 @ e975, ndcg
+0.155783 — above the reference's published 0.1824/0.1547 and its own
+recorded best 0.18250/0.15456; lr 2.8e-3 = sqrt-scaled from the
+reference's 1e-3 at 8x batch, MultiStepLR [500,650,800] gamma 0.5 —
 the reference's own scheduler mechanism, reference code/parse.py:76-82);
 re-derive with `python quality_bench.py`. Hybrid SpMM is
 math-equivalent to ELL (tests/test_hybrid.py, losses agree to 5
-decimals), and ELL matches segment-sum to 1e-10 in gradients.
+decimals), and ELL matches segment-sum to 1e-10 in gradients. The
+b8192 parity point (2.85 s/epoch, recall 0.18280) remains tracked in
+results/b8192-parity-valid.csv.
 """
 
 import json
@@ -98,7 +102,7 @@ def main() -> None:
             spmm_mode="hybrid",
             hybrid_cols=8192,
         ),
-        train=TrainConfig(batch_size=8192, tensorboard=False),
+        train=TrainConfig(batch_size=16384, tensorboard=False),
     )
     model = build_model(
         cfg.model,

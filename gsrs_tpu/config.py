@@ -195,10 +195,15 @@ class EvalConfig:
     # wide catalogs at recall_target expected per-row recall)
     topk_method: str = "exact"
     topk_recall_target: float = 0.98
-    # Fused Pallas scoring+masking kernel (experimental; interpreter-
-    # tested, compiles on TPU): writes the score matrix once instead of
-    # matmul-out + masked copy.
+    # Fused Pallas scoring+masking kernel: writes the score matrix once
+    # instead of matmul-out + masked copy. Variant 'bitplane' unpacks the
+    # mask by lane-axis concat of 32 shifted word-planes (compiles under
+    # Mosaic; score columns are permuted in-kernel and indices mapped
+    # back). Variant 'natural' keeps natural column order but its 3D→2D
+    # bit-unpack reshape does NOT compile under Mosaic (round-2 wall,
+    # results/bench_eval.log) — interpret/testing only.
     use_pallas_scoring: bool = False
+    pallas_variant: str = "bitplane"
 
 
 @dataclasses.dataclass(frozen=True)

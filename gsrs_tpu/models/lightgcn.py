@@ -98,12 +98,6 @@ class LightGCN:
                 f"'{cfg.spmm_mode}' (an unknown mode would silently run "
                 f"the slow segment path)"
             )
-        if cfg.spmm_mode == "hybrid" and cfg.dropout:
-            raise ValueError(
-                "spmm_mode='hybrid' does not support edge dropout (a "
-                "per-cell mask would need an eidx matrix as large as the "
-                "dense hub block) — use --spmm ell with --dropout"
-            )
         self.cfg = cfg
         self.graph = graph
         # the scatter-free ELL layout is the default propagation path; the
@@ -197,19 +191,27 @@ class LightGCN:
         # Edge dropout (inverted, sampled once per step in canonical edge
         # order via ops.spmm.edge_keep_mask so both SpMM directions drop
         # the same edges); the permuted views are hoisted out of the loop.
-        keep = edge_masks = None
+        # Hybrid mode instead uses the stateless per-edge hash mask
+        # (ops.hashdrop) — the dense hub block has no edge-index matrix,
+        # so the keep decision is recomputed elementwise per cell.
+        keep = edge_masks = hdrop = None
         if dropout_key is not None and self.cfg.dropout:
-            keep = edge_keep_mask(
-                dropout_key, graph, self.cfg.keep_prob, dtype=u.dtype
-            )
-            if not use_ell:
-                edge_masks = (keep[graph.perm_by_u], keep[graph.perm_by_i])
+            if use_hybrid:
+                from gsrs_tpu.ops.hashdrop import hashdrop_from_key
+
+                hdrop = hashdrop_from_key(dropout_key, self.cfg.keep_prob)
+            else:
+                keep = edge_keep_mask(
+                    dropout_key, graph, self.cfg.keep_prob, dtype=u.dtype
+                )
+                if not use_ell:
+                    edge_masks = (keep[graph.perm_by_u], keep[graph.perm_by_i])
 
         acc_u, acc_i = u, i
         cur_u, cur_i = u, i
         for _ in range(self.cfg.num_layers):
             if use_hybrid:
-                cur_u, cur_i = hybrid_propagate_layer(ell, cur_u, cur_i)
+                cur_u, cur_i = hybrid_propagate_layer(ell, cur_u, cur_i, hdrop)
             elif use_ell:
                 cur_u, cur_i = ell_propagate_layer(ell, cur_u, cur_i, keep)
             else:

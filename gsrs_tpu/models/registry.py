@@ -58,6 +58,8 @@ def build_seq_model(
     heads: int = 1,
     dropout: float = 0.2,
     bf16: bool = False,
+    mask_prob: float = 0.3,
+    last_only_prob: float = 0.6,
 ):
     """Factory for the sequential family (SASRec / GRU4Rec / BERT4Rec) —
     the one place that maps the flat CLI/serving hyperparameters onto each
@@ -90,6 +92,8 @@ def build_seq_model(
                 num_heads=heads,
                 ffn_hidden=hidden,
                 dropout_rate=dropout,
+                mask_prob=mask_prob,
+                last_only_prob=last_only_prob,
                 bf16_compute=bf16,
             )
         )

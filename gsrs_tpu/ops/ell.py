@@ -395,14 +395,30 @@ def apply_sharded_side_local(
 
 
 def _apply_side(
-    side: EllSide, x: jax.Array, edge_mask: Optional[jax.Array]
+    side: EllSide,
+    x: jax.Array,
+    edge_mask: Optional[jax.Array],
+    hash_drop=None,
+    dst_is_user: bool = True,
 ) -> jax.Array:
-    """out[r] = Σ_slots w · x[col]  for every row r of this side."""
+    """out[r] = Σ_slots w · x[col]  for every row r of this side.
+
+    ``hash_drop``: optional stateless per-edge dropout (ops.hashdrop) —
+    the keep decision is computed elementwise from each slot's
+    (row, col) pair, no eidx gather; ``dst_is_user`` says whether rows
+    are user ids (so the hash sees canonical (user, item) order and both
+    transpose directions drop the same edges)."""
     partials = []
     for b in side.buckets:
         w = b.w
         if edge_mask is not None:
             w = w * edge_mask[b.eidx]
+        if hash_drop is not None:
+            from gsrs_tpu.ops.hashdrop import hash_keep
+
+            rr = b.rows[:, None]
+            uu, ii = (rr, b.cols) if dst_is_user else (b.cols, rr)
+            w = w * hash_keep(uu, ii, hash_drop, dtype=w.dtype)
         gathered = jnp.take(x, b.cols.reshape(-1), axis=0).reshape(
             (*b.cols.shape, x.shape[-1])
         )
@@ -423,27 +439,30 @@ def ell_propagate_layer(
     user_emb: jax.Array,
     item_emb: jax.Array,
     edge_mask: Optional[jax.Array] = None,
+    hash_drop=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One LightGCN layer, scatter-free in both passes:
-    new_user = W @ item_emb, new_item = W^T @ user_emb."""
-    new_u = _apply_side(graph.by_user, item_emb, edge_mask)
-    new_i = _apply_side(graph.by_item, user_emb, edge_mask)
+    new_user = W @ item_emb, new_item = W^T @ user_emb.
+    ``hash_drop`` (ops.hashdrop.HashDrop): stateless per-edge dropout,
+    an alternative to ``edge_mask`` with no index gather."""
+    new_u = _apply_side(graph.by_user, item_emb, edge_mask, hash_drop, True)
+    new_i = _apply_side(graph.by_item, user_emb, edge_mask, hash_drop, False)
     return new_u, new_i
 
 
-def _fwd(graph, user_emb, item_emb, edge_mask):
-    out = ell_propagate_layer(graph, user_emb, item_emb, edge_mask)
-    return out, (graph, edge_mask)
+def _fwd(graph, user_emb, item_emb, edge_mask, hash_drop):
+    out = ell_propagate_layer(graph, user_emb, item_emb, edge_mask, hash_drop)
+    return out, (graph, edge_mask, hash_drop)
 
 
 def _bwd(res, cot):
-    graph, edge_mask = res
+    graph, edge_mask, hash_drop = res
     g_u, g_i = cot
     # d/d item_emb of (W @ item_emb) applied to ĝ_u is W^T ĝ_u → item-side
     # layout; symmetrically for users. Same masked weights as forward.
-    d_item = _apply_side(graph.by_item, g_u, edge_mask)
-    d_user = _apply_side(graph.by_user, g_i, edge_mask)
-    return None, d_user, d_item, None
+    d_item = _apply_side(graph.by_item, g_u, edge_mask, hash_drop, False)
+    d_user = _apply_side(graph.by_user, g_i, edge_mask, hash_drop, True)
+    return None, d_user, d_item, None, None
 
 
 ell_propagate_layer.defvjp(_fwd, _bwd)

@@ -31,10 +31,12 @@ edge gathers it replaces). The edge weights are graph constants, so no
 gradient flows to ``dense`` itself.
 
 Replaces the same reference hot loop as ops/ell.py
-(``torch.sparse.mm``, reference code/model.py:216-218). Edge dropout is
-not supported in hybrid mode (a per-cell mask would need an eidx matrix
-as large as the dense block); the model falls back to ELL when dropout
-is configured.
+(``torch.sparse.mm``, reference code/model.py:216-218). Edge dropout
+works in hybrid mode via the stateless per-edge hash mask
+(ops.hashdrop): the keep decision is an elementwise function of each
+dense cell's (dst, top_src[c]) pair and each residual slot's
+(row, col) pair, so no edge-index matrix is needed and both directions
+drop the same edges (round-2's hybrid×dropout exclusion removed).
 """
 
 from __future__ import annotations
@@ -173,44 +175,79 @@ def hybrid_from_graph(
     )
 
 
-def _apply_direction(d: HybridDirection, x: jax.Array) -> jax.Array:
-    out = _apply_side(d.residual.by_user, x, None)
+def _masked_dense(d: HybridDirection, drop, dst_is_user: bool) -> jax.Array:
+    """Dense hub block with the stateless per-edge keep mask applied.
+    Cell (r, c) is edge (dst=r, src=top_src[c]); the hash sees canonical
+    (user, item) order so the drop decision agrees with the residual ELL
+    slots and the transpose direction. The mask is a pure elementwise
+    function of loop-invariant inputs, so XLA computes the masked block
+    once per step and reuses it across layers."""
+    if drop is None:
+        return d.dense
+    from gsrs_tpu.ops.hashdrop import hash_keep
+
+    n_dst = d.dense.shape[0]
+    r = jnp.arange(n_dst, dtype=jnp.int32)[:, None]
+    c = d.top_src[None, :]
+    uu, ii = (r, c) if dst_is_user else (c, r)
+    return d.dense * hash_keep(uu, ii, drop, dtype=d.dense.dtype)
+
+
+def _apply_direction(
+    d: HybridDirection, x: jax.Array, drop=None, dst_is_user: bool = True
+) -> jax.Array:
+    out = _apply_side(d.residual.by_user, x, None, drop, dst_is_user)
     hub = jnp.take(x, d.top_src, axis=0)  # (C, d) — tiny gather
     return out + jnp.dot(
-        d.dense.astype(x.dtype), hub, preferred_element_type=out.dtype
+        _masked_dense(d, drop, dst_is_user).astype(x.dtype),
+        hub,
+        preferred_element_type=out.dtype,
     )
 
 
-def _apply_direction_t(d: HybridDirection, g: jax.Array) -> jax.Array:
+def _apply_direction_t(
+    d: HybridDirection, g: jax.Array, drop=None, dst_is_user: bool = True
+) -> jax.Array:
     """Wᵀ @ g for one direction: transpose-ELL gather + dense-block
-    transpose matmul accumulated into the C hub rows."""
-    out = _apply_side(d.residual.by_item, g, None)
+    transpose matmul accumulated into the C hub rows. ``dst_is_user``
+    refers to the FORWARD direction's destination (the residual by_item
+    side flips it internally)."""
+    out = _apply_side(d.residual.by_item, g, None, drop, not dst_is_user)
     hub_cot = jnp.dot(
-        d.dense.astype(g.dtype).T, g, preferred_element_type=out.dtype
+        _masked_dense(d, drop, dst_is_user).astype(g.dtype).T,
+        g,
+        preferred_element_type=out.dtype,
     )  # (C, d)
     return out.at[d.top_src].add(hub_cot)
 
 
 @jax.custom_vjp
 def hybrid_propagate_layer(
-    hg: HybridGraph, user_emb: jax.Array, item_emb: jax.Array
+    hg: HybridGraph,
+    user_emb: jax.Array,
+    item_emb: jax.Array,
+    drop=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One LightGCN layer: new_u = W @ item_emb, new_i = Wᵀ @ user_emb,
-    hub columns on the MXU, residual edges scatter-free in both passes."""
-    new_u = _apply_direction(hg.user_from_item, item_emb)
-    new_i = _apply_direction(hg.item_from_user, user_emb)
+    hub columns on the MXU, residual edges scatter-free in both passes.
+    ``drop`` (ops.hashdrop.HashDrop): stateless per-edge dropout — the
+    mechanism that lets the dense block participate without an edge-index
+    matrix (VERDICT r2 item 6)."""
+    new_u = _apply_direction(hg.user_from_item, item_emb, drop, True)
+    new_i = _apply_direction(hg.item_from_user, user_emb, drop, False)
     return new_u, new_i
 
 
-def _fwd(hg, user_emb, item_emb):
-    return hybrid_propagate_layer(hg, user_emb, item_emb), hg
+def _fwd(hg, user_emb, item_emb, drop):
+    return hybrid_propagate_layer(hg, user_emb, item_emb, drop), (hg, drop)
 
 
-def _bwd(hg, cot):
+def _bwd(res, cot):
+    hg, drop = res
     g_u, g_i = cot
-    d_item = _apply_direction_t(hg.user_from_item, g_u)
-    d_user = _apply_direction_t(hg.item_from_user, g_i)
-    return None, d_user, d_item
+    d_item = _apply_direction_t(hg.user_from_item, g_u, drop, True)
+    d_user = _apply_direction_t(hg.item_from_user, g_i, drop, False)
+    return None, d_user, d_item, None
 
 
 hybrid_propagate_layer.defvjp(_fwd, _bwd)

@@ -33,6 +33,30 @@ def distributed_init() -> None:
         or os.environ.get("TPU_WORKER_HOSTNAMES")
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     )
+    # Explicit launcher control: JAX's auto-detection only understands
+    # SLURM/OMPI/GKE launchers, so a plain multi-process launch (ssh
+    # loop, mpirun-less pod bring-up, or the 2-process CPU integration
+    # test) passes coordinates through these env vars instead.
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("GSRS_NUM_PROCESSES") or os.environ.get(
+        "JAX_NUM_PROCESSES"
+    )
+    pid = os.environ.get("GSRS_PROCESS_ID") or os.environ.get(
+        "JAX_PROCESS_ID"
+    )
+    if addr and nproc is not None and pid is not None:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+            return
+        except RuntimeError as e:
+            if "already initialized" in str(e).lower():
+                print(f"[mesh] jax.distributed already initialized: {e}")
+                return
+            raise
     if multi_host_env:
         try:
             jax.distributed.initialize()

@@ -89,6 +89,25 @@ class Evaluator:
         self._users_dev = jnp.asarray(self.user_batches)
         self._weights_dev = jnp.asarray(self.user_weights)
         self._gt_dev = jnp.asarray(self.gt_counts[self.user_batches])
+        if cfg.use_pallas_scoring and cfg.pallas_variant == "bitplane":
+            from gsrs_tpu.ops.pallas_kernels import bitplane_permutation
+
+            self._bp_block_m = 4096
+            self._bp_m = data.m_items
+            self._bp_m_pad = -(-data.m_items // self._bp_block_m) * self._bp_block_m
+            self._bp_perm = jnp.asarray(
+                bitplane_permutation(self._bp_m_pad, self._bp_block_m).astype(
+                    np.int32
+                )
+            )
+            # item rows are permuted once per eval inside run(); the
+            # natural-width bitset rows are padded per batch inside the
+            # scan (avoids a second resident full-catalog bitset in HBM)
+            self._bp_permute_items = jax.jit(
+                lambda it: jnp.pad(
+                    it, ((0, self._bp_m_pad - self._bp_m), (0, 0))
+                )[self._bp_perm]
+            )
         self._scan_fn = jax.jit(self._eval_all)
         # Hoisted: a fresh `jax.jit(lambda ...)` per run() call can never
         # hit the jit cache, so every eval would pay a full propagation
@@ -110,6 +129,32 @@ class Evaluator:
     ) -> Dict[str, jax.Array]:
         u_emb = all_users[users]
         train_rows = train_bitset[users]
+        if self.cfg.use_pallas_scoring and self.cfg.pallas_variant == "bitplane":
+            from gsrs_tpu.ops.pallas_kernels import masked_scores_bitplane_pallas
+            from gsrs_tpu.ops.topk import topk_scores
+
+            # pad bitset rows to m_pad/32 words: pad words all-ones, and
+            # the ragged bits [m, W*32) of the last natural word set, so
+            # every phantom column masks to NEG_INF
+            W = train_rows.shape[1]
+            W_pad = self._bp_m_pad // 32
+            rows = jnp.pad(
+                train_rows,
+                ((0, 0), (0, W_pad - W)),
+                constant_values=np.uint32(0xFFFFFFFF),
+            )
+            if self._bp_m % 32:
+                ragged = jnp.uint32(0xFFFFFFFF) << jnp.uint32(self._bp_m % 32)
+                rows = rows.at[:, W - 1].set(rows[:, W - 1] | ragged)
+            scores = masked_scores_bitplane_pallas(
+                u_emb, items, rows, block_m=self._bp_block_m
+            )
+            _, top_cols = topk_scores(
+                scores, self.max_k, self.cfg.topk_method, self.cfg.topk_recall_target
+            )
+            top_items = self._bp_perm[top_cols]  # back to natural item ids
+            labels = topk_labels(top_items, test_bitset, users)
+            return batch_metrics(labels, gt_counts, weights, self.cfg.topks)
         if self.cfg.use_pallas_scoring:
             from gsrs_tpu.ops.pallas_kernels import masked_scores_pallas
             from gsrs_tpu.ops.topk import topk_scores
@@ -163,6 +208,8 @@ class Evaluator:
         all_users, items, _ = self._final_fn(
             params, self.model.graph, self.model.ell
         )
+        if self.cfg.use_pallas_scoring and self.cfg.pallas_variant == "bitplane":
+            items = self._bp_permute_items(items)
         totals = self._scan_fn(
             all_users,
             items,

@@ -401,18 +401,25 @@ def _single_device_dropout_step(model, optimizer, params, batch, key, decay=1e-4
     return optax.apply_updates(params, updates), float(loss)
 
 
-@pytest.mark.parametrize("spmm_mode", ["ell", "segment"])
+@pytest.mark.parametrize("spmm_mode", ["ell", "segment", "hybrid"])
 def test_gspmd_step_dropout_matches_single_device(setup, spmm_mode):
     """Edge dropout through the standalone GSPMD step: same key → same
     per-edge keep mask → identical update as the single-device step
     (kills the round-1 NotImplementedError; the reference's --dropout/
-    --keepprob flags now work in every execution mode)."""
+    --keepprob flags now work in every execution mode — including
+    hybrid, via the stateless hash mask of ops.hashdrop)."""
     data, graph, model, params, optimizer, batch = setup
     cfg = dataclasses.replace(
         model.cfg, dropout=True, keep_prob=0.6, spmm_mode=spmm_mode
     )
-    ell = model.ell if spmm_mode == "ell" else None
-    drop_model = build_model(cfg, graph, ell=ell)
+    if spmm_mode == "hybrid":
+        from gsrs_tpu.ops.hybrid import hybrid_from_interactions
+
+        layout = hybrid_from_interactions(data, cols=16)
+        cfg = dataclasses.replace(cfg, hybrid_cols=16)
+    else:
+        layout = model.ell if spmm_mode == "ell" else None
+    drop_model = build_model(cfg, graph, ell=layout)
     key = jax.random.key(11)
     ref_params, ref_loss = _single_device_dropout_step(
         drop_model, optimizer, params, batch, key
@@ -425,7 +432,7 @@ def test_gspmd_step_dropout_matches_single_device(setup, spmm_mode):
     )
     model_sh = build_model(
         cfg, sh.place_graph(graph),
-        ell=sh.place_ell(model.ell) if spmm_mode == "ell" else None,
+        ell=sh.place_ell(layout) if layout is not None else None,
     )
     opt_state = optimizer.init(p_sharded)
     step = make_train_step(model_sh, optimizer, mesh, decay=1e-4)(

@@ -111,8 +111,89 @@ def test_hybrid_auto_derive_and_validation(setup):
                       hybrid_cols=16)
     model = build_model(cfg, graph)  # auto-derives the HybridGraph
     assert isinstance(model.ell, HybridGraph)
-    with pytest.raises(ValueError, match="dropout"):
-        build_model(dataclasses.replace(cfg, dropout=True), graph)
+
+
+@pytest.mark.parametrize("cols", [8, 32])
+def test_hybrid_hashdrop_matches_ell_hashdrop(setup, cols):
+    """Stateless per-edge dropout: the SAME (key, keep_prob) must drop the
+    same edge set whether an edge landed in the dense hub block or the
+    residual ELL — so hybrid-with-hashdrop equals pure-ELL-with-hashdrop
+    exactly, forward and backward (VERDICT r2 item 6)."""
+    from gsrs_tpu.ops.hashdrop import hashdrop_from_key
+
+    data, graph = setup
+    ell = ell_from_interactions(data)
+    hg = hybrid_from_interactions(data, cols=cols)
+    drop = hashdrop_from_key(jax.random.key(11), 0.6)
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.normal(size=(data.n_users, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(data.m_items, 8)).astype(np.float32))
+    ref_u, ref_i = ell_propagate_layer(ell, u, x, None, drop)
+    got_u, got_i = hybrid_propagate_layer(hg, u, x, drop)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i), atol=1e-5)
+
+    def f_ell(u, x):
+        nu, ni = ell_propagate_layer(ell, u, x, None, drop)
+        return jnp.sum(nu**2) + jnp.sum(jnp.sin(ni))
+
+    def f_hyb(u, x):
+        nu, ni = hybrid_propagate_layer(hg, u, x, drop)
+        return jnp.sum(nu**2) + jnp.sum(jnp.sin(ni))
+
+    gu_ref, gx_ref = jax.grad(f_ell, argnums=(0, 1))(u, x)
+    gu, gx = jax.grad(f_hyb, argnums=(0, 1))(u, x)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(gu_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4)
+
+
+def test_hashdrop_expectation_and_rate(setup):
+    """Inverted hash dropout preserves the propagation mean over keys, and
+    the empirical keep rate tracks keep_prob."""
+    from gsrs_tpu.ops.hashdrop import hash_keep, hashdrop_from_key
+
+    data, graph = setup
+    hg = hybrid_from_interactions(data, cols=16)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.normal(size=(data.n_users, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(data.m_items, 8)).astype(np.float32))
+    base_u, _ = hybrid_propagate_layer(hg, u, x)
+    acc = np.zeros_like(np.asarray(base_u))
+    n = 300
+    for s in range(n):
+        drop = hashdrop_from_key(jax.random.key(s), 0.7)
+        acc += np.asarray(hybrid_propagate_layer(hg, u, x, drop)[0])
+    np.testing.assert_allclose(
+        acc / n, np.asarray(base_u), atol=0.15 * float(np.abs(base_u).max())
+    )
+    # keep rate over a large (u, i) grid
+    uu = jnp.arange(2000, dtype=jnp.int32)[:, None]
+    ii = jnp.arange(500, dtype=jnp.int32)[None, :]
+    m = np.asarray(hash_keep(uu, ii, hashdrop_from_key(jax.random.key(0), 0.7)))
+    assert abs((m > 0).mean() - 0.7) < 0.01
+
+
+def test_hybrid_model_dropout_end_to_end(setup):
+    """spmm_mode='hybrid' + dropout trains: same key reproduces the loss,
+    different keys differ, no-dropout differs from dropout."""
+    data, graph = setup
+    cfg = ModelConfig(
+        num_layers=2, embedding_dim=8, spmm_mode="hybrid", hybrid_cols=16,
+        dropout=True, keep_prob=0.6,
+    )
+    model = build_model(cfg, graph, ell=hybrid_from_interactions(data, cols=16))
+    params = model.init_params(jax.random.key(0))
+    rng = np.random.default_rng(6)
+    users = jnp.asarray(rng.integers(0, data.n_users, 32, dtype=np.int32))
+    pos = jnp.asarray(rng.integers(0, data.m_items, 32, dtype=np.int32))
+    neg = jnp.asarray(rng.integers(0, data.m_items, 32, dtype=np.int32))
+    l1, _ = model.bpr_loss(params, users, pos, neg, dropout_key=jax.random.key(1))
+    l1b, _ = model.bpr_loss(params, users, pos, neg, dropout_key=jax.random.key(1))
+    l2, _ = model.bpr_loss(params, users, pos, neg, dropout_key=jax.random.key(2))
+    l0, _ = model.bpr_loss(params, users, pos, neg)
+    assert float(l1) == float(l1b)
+    assert float(l1) != float(l2)
+    assert float(l1) != float(l0)
 
 
 def test_hybrid_dense_residual_split_covers_all_edges(setup):

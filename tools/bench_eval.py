@@ -87,7 +87,15 @@ def main():
         ("exact", dict(topk_method="exact")),
         ("approx", dict(topk_method="approx",
                         topk_recall_target=args.recall_target)),
-        ("pallas+exact", dict(topk_method="exact", use_pallas_scoring=True)),
+        # bit-plane kernel (default pallas variant): bit unpack via
+        # lane-axis concat — the Mosaic-compilable form (round 3)
+        ("pallas-bitplane+exact",
+         dict(topk_method="exact", use_pallas_scoring=True)),
+        # natural-order kernel: known Mosaic shape-cast wall (round 2) —
+        # kept to record the compile failure in the log
+        ("pallas-natural+exact",
+         dict(topk_method="exact", use_pallas_scoring=True,
+              pallas_variant="natural")),
     ]
 
     results = []
@@ -114,6 +122,15 @@ def main():
         tr = Trainer(tcfg, data, graph, model, run_eval=False)
         state = tr.maybe_resume(tr.init_state())
         params = state.params
+        if state.epoch == 0:
+            # maybe_resume silently returns fresh state when no
+            # checkpoint resolves — don't report random params as trained
+            raise SystemExit(
+                f"[params] NO checkpoint resolved under {args.checkpoint_dir} "
+                "(state.epoch == 0) — refusing to report random-params "
+                "quality as restored; run without --checkpoint_dir for "
+                "timing-only numbers"
+            )
         print(f"[params] restored {args.checkpoint_dir} @ epoch {state.epoch}")
     else:
         params = model.init_params(jax.random.key(0))

@@ -63,7 +63,8 @@ def drive():
                     "--timed_epochs", str(args.timed_epochs),
                     "--hybrid_cols", str(args.hybrid_cols),
                 ]
-                for attempt in (1, 2):
+                attempts = (1, 2)
+                for attempt in attempts:
                     try:
                         r = subprocess.run(cmd, timeout=900)
                         if r.returncode == 0:
@@ -74,7 +75,8 @@ def drive():
                         "shape": shape, "spmm": spmm, "batch": b,
                         "attempt": attempt, "result": "FAILED",
                     }), flush=True)
-                    time.sleep(60)  # grant-release grace before retrying
+                    if attempt < attempts[-1]:
+                        time.sleep(60)  # grant-release grace before retry
 
 
 def main():

@@ -1,0 +1,140 @@
+"""Serving latency/throughput bench (VERDICT r2 item 8).
+
+Measures, on the real chip, what the serving layer actually delivers:
+
+- graph retrieval (`gsrs_tpu.serve.Retriever`): batch-1 and batch-256
+  p50/p99 request latency and users/s, fp32 vs int8 artifacts, with the
+  trained parity checkpoint's embeddings (Gowalla catalog);
+- sequential retrieval (`gsrs_tpu.serve_seq.SeqRetriever`, SASRec):
+  batch-1 and batch-64 session latency/QPS (latency is weight-agnostic,
+  so fresh-init params measure the same program a trained model serves).
+
+No reference counterpart exists (the reference has no serving layer) —
+this quantifies the framework's beyond-reference serving claim.
+
+Usage: python tools/bench_serving.py --checkpoint_dir checkpoints/b8192-parity
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def pct(xs, p):
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(p / 100.0 * len(xs)))]
+
+
+def bench_requests(fn, reqs, warmup=5):
+    """fn(request) → latency list (s)."""
+    for _ in range(warmup):
+        fn(reqs[0])
+    lat = []
+    for r in reqs:
+        t0 = time.perf_counter()
+        fn(r)
+        lat.append(time.perf_counter() - t0)
+    return lat
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint_dir", default="checkpoints/b8192-parity")
+    ap.add_argument("--dataset_dir", default="data/gowalla")
+    ap.add_argument("--reps", type=int, default=50)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+
+    from gsrs_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
+    from gsrs_tpu.data.adjacency import build_graph
+    from gsrs_tpu.data.dataset import load_dataset
+    from gsrs_tpu.models.registry import build_model, build_seq_model
+    from gsrs_tpu.ops.ell import ell_from_interactions
+    from gsrs_tpu.serve import (
+        Retriever,
+        export_embeddings,
+        load_retriever,
+        retriever_from_model,
+    )
+    from gsrs_tpu.serve_seq import SeqRetriever
+    from gsrs_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    data = load_dataset(args.dataset_dir)
+    graph = build_graph(data)
+    mcfg = ModelConfig(num_layers=3, embedding_dim=64, bf16_compute=True)
+    model = build_model(mcfg, graph, ell=ell_from_interactions(data))
+    tcfg = ExperimentConfig(
+        model=mcfg,
+        train=TrainConfig(
+            checkpoint_dir=args.checkpoint_dir, resume=True, tensorboard=False
+        ),
+    )
+    tr = Trainer(tcfg, data, graph, model, run_eval=False)
+    state = tr.maybe_resume(tr.init_state())
+    trained = state.epoch > 0
+    print(f"[params] {'restored @ epoch ' + str(state.epoch) if trained else 'RANDOM (latency unaffected)'}")
+
+    results = []
+    for quant in (None, "int8"):
+        if quant is None:
+            retr = {
+                1: retriever_from_model(model, state.params, data, batch_size=1),
+                256: retriever_from_model(model, state.params, data, batch_size=256),
+            }
+        else:
+            path = os.path.join(REPO, "results", "_bench_serving_int8.npz")
+            export_embeddings(model, state.params, data, path, quantize="int8")
+            retr = {
+                1: load_retriever(path, batch_size=1),
+                256: load_retriever(path, batch_size=256),
+            }
+        for B, r in retr.items():
+            reqs = [
+                rng.integers(0, data.n_users, B).tolist()
+                for _ in range(args.reps)
+            ]
+            lat = bench_requests(lambda q: r.recommend(q, k=20), reqs)
+            results.append({
+                "family": "graph",
+                "quant": quant or "fp32",
+                "batch": B,
+                "p50_ms": round(pct(lat, 50) * 1e3, 2),
+                "p99_ms": round(pct(lat, 99) * 1e3, 2),
+                "users_per_s": round(B / pct(lat, 50)),
+            })
+            print(json.dumps(results[-1]), flush=True)
+
+    # ---- sequential (SASRec): latency is independent of weight values
+    sm = build_seq_model("sasrec", m_items=data.m_items, max_len=50, dim=64,
+                         hidden=64, blocks=2, heads=2)
+    sparams = sm.init_params(jax.random.key(0))
+    for B in (1, 64):
+        sr = SeqRetriever(sm, sparams, batch_size=B)
+        sessions = [
+            [rng.integers(0, data.m_items, 20).tolist() for _ in range(B)]
+            for _ in range(args.reps)
+        ]
+        lat = bench_requests(lambda s: sr.recommend(s, k=20), sessions)
+        results.append({
+            "family": "seq-sasrec",
+            "quant": "fp32",
+            "batch": B,
+            "p50_ms": round(pct(lat, 50) * 1e3, 2),
+            "p99_ms": round(pct(lat, 99) * 1e3, 2),
+            "sessions_per_s": round(B / pct(lat, 50)),
+        })
+        print(json.dumps(results[-1]), flush=True)
+
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()
