@@ -110,13 +110,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--ug_neg_sharing",
         type=str,
         default="none",
-        choices=["none", "batch", "group", "full"],
+        choices=["none", "batch", "group", "full", "pool"],
         help="negatives: per-example (paper), one shared set per batch "
         "(MXU matmul), per-group of rows (decorrelated middle ground), "
-        "or 'full' = closed-form expectation over the whole catalog "
-        "(one (B,d)x(d,m) matmul; zero sampling variance)",
+        "'full' = closed-form expectation over the whole catalog "
+        "(one (B,d)x(d,m) matmul; zero sampling variance), or 'pool' = "
+        "per-example distinct subsets drawn from a shared gathered pool "
+        "(the paper's per-example-draw regularization at batch-like cost)",
     )
     p.add_argument("--ug_neg_groups", type=int, default=8)
+    p.add_argument("--ug_neg_pool", type=int, default=8192)
     p.add_argument(
         "--ug_sift_pos",
         action="store_true",
@@ -154,6 +157,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="eval top-k impl: exact lax.top_k or TPU-native approx_max_k",
     )
     p.add_argument("--topk_recall_target", type=float, default=0.98)
+    p.add_argument(
+        "--use_pallas_scoring",
+        action="store_true",
+        help="fused masked-scoring Pallas kernel (bit-plane variant) for "
+        "eval — exact-equal metrics; ~1.9x faster than the XLA path on "
+        "catalogs of ~90k+ items (BENCH_NOTES round 3)",
+    )
     p.add_argument(
         "--epoch_samples",
         type=int,
@@ -206,6 +216,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             ug_init_std=args.ug_init_std,
             ug_neg_sharing=args.ug_neg_sharing,
             ug_neg_groups=args.ug_neg_groups,
+            ug_neg_pool=args.ug_neg_pool,
             ug_sift_pos=args.ug_sift_pos,
             bf16_compute=args.bf16,
             spmm_mode=args.spmm,
@@ -238,6 +249,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             multicore=bool(args.multicore),
             topk_method=args.topk_method,
             topk_recall_target=args.topk_recall_target,
+            use_pallas_scoring=args.use_pallas_scoring,
         ),
         parallel=ParallelConfig(
             data_axis=args.data_axis, model_axis=args.model_axis

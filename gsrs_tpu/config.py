@@ -121,9 +121,17 @@ class ModelConfig:
     # decorrelates most of 'batch' at a small gather cost;
     # 'full' = the closed-form expectation of the paper's estimator: the
     # negative term evaluated over the WHOLE catalog via one (B,d)×(d,m)
-    # MXU matmul — zero sampling variance, ug_neg_num unused.
+    # MXU matmul — zero sampling variance, ug_neg_num unused;
+    # 'pool' = per-example DISTINCT negative subsets drawn from a shared
+    # gathered pool of ug_neg_pool rows: one (B,d)×(d,P) matmul scores
+    # the pool, then each example selects its own ug_neg_num entries by
+    # index into the on-chip score matrix (no B·N table gathers). In
+    # expectation identical to 'none' (every pool entry and every draw is
+    # uniform over the catalog) but at 'batch'-like epoch cost — the
+    # TPU-shaped form of the paper's per-example-draw regularization.
     ug_neg_sharing: str = "none"
     ug_neg_groups: int = 8  # groups per batch for ug_neg_sharing='group'
+    ug_neg_pool: int = 8192  # shared pool size for ug_neg_sharing='pool'
     # Exclude each user's known train positives from the negative term
     # (the paper's sampling_sift_pos, evaluated EXACTLY: only available
     # with ug_neg_sharing='full', where the (B,m) score matrix is already
@@ -179,7 +187,18 @@ class TrainConfig:
     tensorboard: bool = True
     comment: str = "lgn"
     # Number of train steps fused into one jitted scan segment. Larger
-    # values amortize dispatch; 0 = whole epoch in one scan.
+    # values amortize dispatch; 0 = auto (whole epoch, capped at 128
+    # steps per segment). Round-3 finding: one epoch-long scan is ONE
+    # device dispatch, and single executions running longer than
+    # roughly half a minute fault the TPU worker non-deterministically —
+    # the r2 "yelp-scale crash" (results/bench_scale_standin.log r3:
+    # yelp b8192/28 s dispatches always pass, yelp b2048/~60 s flaky,
+    # amazon ≥45 s always faults even mid-epoch-chunked at 512 steps;
+    # the minimal jitted step at the same shapes is fine, so it is the
+    # execution duration, not the program). The 128-step cap bounds the
+    # worst measured per-step cost (~200 ms, amazon-scale ELL b2048) to
+    # ~25 s per dispatch while leaving every headline Gowalla config
+    # (b8192 = 99 steps, b16384 = 50) in a single segment.
     steps_per_scan: int = 0
 
 

@@ -197,17 +197,20 @@ class UltraGCN(LightGCN):
         ell=None,
         ii_cache_dir: Optional[str] = None,
     ):
-        if cfg.ug_neg_sharing not in ("none", "batch", "group", "full"):
+        if cfg.ug_neg_sharing not in ("none", "batch", "group", "full", "pool"):
             raise ValueError(
-                f"ug_neg_sharing must be 'none', 'batch', 'group' or "
-                f"'full', got '{cfg.ug_neg_sharing}'"
+                f"ug_neg_sharing must be 'none', 'batch', 'group', 'full' "
+                f"or 'pool', got '{cfg.ug_neg_sharing}'"
             )
+        if cfg.ug_neg_sharing == "pool" and cfg.ug_neg_pool < 1:
+            raise ValueError("ug_neg_pool must be >= 1")
         if cfg.ug_neg_sharing == "group" and cfg.ug_neg_groups < 1:
             raise ValueError("ug_neg_groups must be >= 1")
-        if cfg.ug_sift_pos and cfg.ug_neg_sharing != "full":
+        if cfg.ug_sift_pos and cfg.ug_neg_sharing not in ("full", "pool"):
             raise ValueError(
-                "ug_sift_pos requires ug_neg_sharing='full' (the sampled "
-                "estimators draw uniformly with collisions, per the paper)"
+                "ug_sift_pos requires ug_neg_sharing='full' or 'pool' "
+                "(the other sampled estimators draw uniformly with "
+                "collisions, per the paper)"
             )
         cfg = dataclasses.replace(
             cfg, num_layers=0, dropout=False, use_pop_gate=False,
@@ -339,6 +342,56 @@ class UltraGCN(LightGCN):
                 neg_denom = jnp.maximum(
                     self.m_items - jnp.sum(is_pos, axis=1), 1
                 ).astype(jnp.float32)
+        elif cfg.ug_neg_sharing == "pool":
+            # Per-example random subsets of one shared gathered pool —
+            # the per-example-draw regularization of the paper's 'none'
+            # estimator (same expectation: pool entries are uniform and
+            # each example's subset is uniform over the pool) without
+            # its B·N-row gather wall. Subsets are sampled by Bernoulli
+            # INCLUSION over the (B, P) score matrix, not by index: a
+            # first take_along_axis formulation ran at 32.7 s/epoch on
+            # the chip because per-element selection gathers (and their
+            # scatter-add cotangents) are issue-rate bound; the
+            # inclusion mask is pure elementwise VPU work with zero
+            # gathers. Each example sees Binomial(P, N/P) ≈ N DISTINCT
+            # negatives (inclusion sampling is draw-without-replacement,
+            # strictly less collision-prone than the paper's
+            # with-replacement draws). One P-row gather + one
+            # (B,d)×(d,P) MXU matmul per step.
+            P = cfg.ug_neg_pool
+            k_pool, k_inc = jax.random.split(dropout_key)
+            pool = jax.random.randint(k_pool, (P,), 0, self.m_items)
+            ne = params["item_emb"][pool]  # (P, d)
+            nec = ne.astype(jnp.bfloat16) if cfg.bf16_compute else ne
+            neg_scores = jnp.dot(
+                uc, nec.T, preferred_element_type=jnp.float32
+            )  # (B, P)
+            include = jax.random.bernoulli(
+                k_inc, min(N / P, 1.0), (B, P)
+            )  # each example's own subset, E[|subset|] = N
+            w_neg = cfg.ug_w3 + cfg.ug_w4 * (
+                beta_u[users][:, None] * beta_i[pool][None, :]
+            )
+            w_neg = w_neg * include.astype(w_neg.dtype)
+            if cfg.ug_sift_pos:
+                # exact sampling_sift_pos: drop the user's train
+                # positives from their subset — combined with the
+                # per-example subsets this is the paper's full sampler
+                from gsrs_tpu.ops.bitset import bitset_lookup
+
+                if not isinstance(ell, TrainBitset):
+                    raise ValueError(
+                        "ug_sift_pos needs the train bitset: the Trainer "
+                        "passes it via the ell slot (TrainBitset)"
+                    )
+                is_pos = bitset_lookup(
+                    ell.bitset, users[:, None], pool[None, :]
+                )  # (B, P) bool
+                include = include & ~is_pos
+                w_neg = w_neg * (1.0 - is_pos.astype(w_neg.dtype))
+            neg_denom = jnp.maximum(
+                jnp.sum(include, axis=1), 1
+            ).astype(jnp.float32)
         elif cfg.ug_neg_sharing == "batch":
             negs = jax.random.randint(dropout_key, (N,), 0, self.m_items)
             ne = params["item_emb"][negs]  # (N, d)

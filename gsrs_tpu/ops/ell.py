@@ -57,11 +57,23 @@ class EllSide:
     ``assemble``: (n_rows,) indices into the row-concatenation of all
     bucket outputs with one extra zero row appended at the end; rows with
     zero degree point at the zero row. Output assembly is thus a gather,
-    not a scatter."""
+    not a scatter.
+
+    ``extra_dst``/``extra_pos``: overflow chunks of ultra-wide rows
+    (degree > max_width, split by `_build_side` — round-3 fix for the
+    degenerate single-row 2^20-wide bucket a mega-hub item produced at
+    yelp-scale, which crashed the TPU worker). Each entry adds bucket
+    output ``extra_pos[j]`` into destination row ``extra_dst[j]`` after
+    the assemble gather — a scatter-add over only the handful of
+    overflow chunks (ceil(D/max_width)−1 per mega row), preserving the
+    scatter-free property for every normal row. None when no row
+    exceeds max_width (every real dataset seen so far)."""
 
     buckets: Tuple[EllBucket, ...]
     assemble: jax.Array  # (n_rows,) int32
     n_rows: int = dataclasses.field(metadata=dict(static=True))
+    extra_dst: Optional[jax.Array] = None  # (n_extra,) int32
+    extra_pos: Optional[jax.Array] = None  # (n_extra,) int32
 
 
 @jax.tree_util.register_dataclass
@@ -85,12 +97,45 @@ def _build_side(
     eidx: np.ndarray,
     n_rows: int,
     min_width: int = 4,
+    max_width: int = 65536,
 ) -> EllSide:
-    """Group rows by degree into power-of-two-width buckets."""
+    """Group rows by degree into power-of-two-width buckets.
+
+    Rows with degree > ``max_width`` are split into ceil(D/max_width)
+    virtual rows; the overflow chunks are summed back into the real row
+    via EllSide.extra_dst/extra_pos (see that docstring). Keeps bucket
+    shapes mainstream no matter how degenerate the degree distribution —
+    a single 540k-degree hub otherwise produces a (1, 2^20)-wide bucket
+    whose compiled gather faulted the TPU worker (round 3)."""
     order = np.argsort(dst, kind="stable")
     dst, src, w, eidx = dst[order], src[order], w[order], eidx[order]
     degrees = np.bincount(dst, minlength=n_rows)
     row_start = np.concatenate([[0], np.cumsum(degrees)]).astype(np.int64)
+
+    n_real = n_rows
+    extra_dst_list = []
+    if max_width & (max_width - 1):
+        # the width-cap guarantee relies on pow2 bucket widths: a chunk
+        # of degree max_width would otherwise land in the next pow2
+        # bucket and silently exceed the cap
+        max_width = 1 << (max_width.bit_length() - 1)
+    over = np.flatnonzero(degrees > max_width)
+    if over.size:
+        dst = dst.astype(np.int64, copy=True)
+        n_virtual = n_rows
+        for r in over:  # few mega rows; per-row loop is fine
+            D = int(degrees[r])
+            k = -(-D // max_width)
+            pos = row_start[r] + np.arange(D)
+            chunk = np.arange(D) // max_width
+            dst[pos] = np.where(chunk == 0, r, n_virtual + chunk - 1)
+            extra_dst_list.extend([r] * (k - 1))
+            n_virtual += k - 1
+        order2 = np.argsort(dst, kind="stable")
+        dst, src, w, eidx = dst[order2], src[order2], w[order2], eidx[order2]
+        n_rows = n_virtual
+        degrees = np.bincount(dst, minlength=n_rows)
+        row_start = np.concatenate([[0], np.cumsum(degrees)]).astype(np.int64)
 
     active_rows = np.flatnonzero(degrees > 0)
     # Bucket width per active row. Gathers are issue-rate bound on TPU
@@ -131,7 +176,30 @@ def _build_side(
         n_assembled += n_b
     # zero-degree rows → the appended zero row at index n_assembled
     assemble = np.where(concat_pos >= 0, concat_pos, n_assembled).astype(np.int32)
-    return EllSide(buckets=tuple(buckets), assemble=assemble, n_rows=n_rows)
+    extra_dst = extra_pos = None
+    if extra_dst_list:
+        extra_dst = np.asarray(extra_dst_list, dtype=np.int32)
+        extra_pos = assemble[n_real:]  # virtual rows all have degree > 0
+        # bucket `rows` must carry the REAL destination id for overflow
+        # chunks: apply-time consumers (the hash-dropout keep decision)
+        # identify each slot's edge as (row, col), and a virtual id
+        # would make the two transpose directions drop different edges
+        buckets = [
+            dataclasses.replace(
+                b,
+                rows=np.where(
+                    b.rows >= n_real, extra_dst[np.maximum(b.rows, n_real) - n_real], b.rows
+                ).astype(np.int32),
+            )
+            for b in buckets
+        ]
+    return EllSide(
+        buckets=tuple(buckets),
+        assemble=assemble[:n_real],
+        n_rows=n_real,
+        extra_dst=extra_dst,
+        extra_pos=extra_pos,
+    )
 
 
 def build_ell_graph(
@@ -141,14 +209,19 @@ def build_ell_graph(
     n_users: int,
     m_items: int,
     min_width: int = 4,
+    max_width: int = 65536,
 ) -> EllGraph:
     """Build from canonical (unpadded) edge arrays; ``weights`` are the
     symmetric-normalized values from
     `gsrs_tpu.data.adjacency.normalized_edge_weights`."""
     eidx = np.arange(users.size, dtype=np.int32)
     return EllGraph(
-        by_user=_build_side(users, items, weights, eidx, n_users, min_width),
-        by_item=_build_side(items, users, weights, eidx, m_items, min_width),
+        by_user=_build_side(
+            users, items, weights, eidx, n_users, min_width, max_width
+        ),
+        by_item=_build_side(
+            items, users, weights, eidx, m_items, min_width, max_width
+        ),
         n_users=n_users,
         m_items=m_items,
     )
@@ -211,12 +284,21 @@ def pad_ell_graph(ell: EllGraph, multiple: int) -> EllGraph:
         old_off = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
         new_off = np.concatenate([[0], np.cumsum(padded)]).astype(np.int64)
 
-        asm = np.asarray(side.assemble).astype(np.int64)
-        out = np.full(asm.shape, new_off[-1], dtype=np.int32)  # zero row
-        active = np.flatnonzero(asm < old_off[-1])
-        pos = asm[active]
-        b_of = np.searchsorted(old_off, pos, side="right") - 1
-        out[active] = (new_off[b_of] + (pos - old_off[b_of])).astype(np.int32)
+        def remap(arr):
+            arr = np.asarray(arr).astype(np.int64)
+            out = np.full(arr.shape, new_off[-1], dtype=np.int32)  # zero row
+            active = np.flatnonzero(arr < old_off[-1])
+            pos = arr[active]
+            b_of = np.searchsorted(old_off, pos, side="right") - 1
+            out[active] = (new_off[b_of] + (pos - old_off[b_of])).astype(
+                np.int32
+            )
+            return out
+
+        out = remap(side.assemble)
+        extra_pos = (
+            remap(side.extra_pos) if side.extra_pos is not None else None
+        )
 
         new_buckets = []
         for b, s, p in zip(side.buckets, sizes, padded):
@@ -246,7 +328,11 @@ def pad_ell_graph(ell: EllGraph, multiple: int) -> EllGraph:
                 )
             )
         return EllSide(
-            buckets=tuple(new_buckets), assemble=out, n_rows=side.n_rows
+            buckets=tuple(new_buckets),
+            assemble=out,
+            n_rows=side.n_rows,
+            extra_dst=side.extra_dst,
+            extra_pos=extra_pos,
         )
 
     return EllGraph(
@@ -290,6 +376,12 @@ class ShardedEllSide:
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     local_len: int = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
+    # overflow chunks of split mega rows (EllSide.extra_*), routed to
+    # their owner shard and padded to equal count: padding entries point
+    # at the local zero row (local_len) and dst 0, adding zeros. None
+    # when the source EllSide had no extras.
+    extra_dst: Optional[jax.Array] = None  # (n_shards, E_max) int32
+    extra_pos: Optional[jax.Array] = None  # (n_shards, E_max) int32
 
 
 @jax.tree_util.register_dataclass
@@ -332,16 +424,35 @@ def _shard_side(side: EllSide, n_shards: int) -> ShardedEllSide:
         es.append(p(b.eidx))
 
     # per-shard assemble: invert the global concat position of each row
-    assemble = np.full((n_shards, side.n_rows), local_len, dtype=np.int32)
     n_assembled_global = int(g_off[-1])
+
+    def owner_and_local(pos):
+        """global concat position → (owner shard, local concat position)."""
+        bucket_of = np.searchsorted(g_off, pos, side="right") - 1
+        within = pos - g_off[bucket_of]
+        rp_arr = np.asarray(rows_ps, dtype=np.int64)[bucket_of]
+        owner = within // rp_arr
+        return owner, l_off[bucket_of] + (within - owner * rp_arr)
+
+    assemble = np.full((n_shards, side.n_rows), local_len, dtype=np.int32)
     active = np.flatnonzero(assemble_np < n_assembled_global)
-    pos = assemble_np[active].astype(np.int64)
-    bucket_of = np.searchsorted(g_off, pos, side="right") - 1
-    within = pos - g_off[bucket_of]
-    rp_arr = np.asarray(rows_ps, dtype=np.int64)[bucket_of]
-    owner = within // rp_arr
-    local_pos = l_off[bucket_of] + (within - owner * rp_arr)
+    owner, local_pos = owner_and_local(assemble_np[active].astype(np.int64))
     assemble[owner, active] = local_pos.astype(np.int32)
+
+    extra_dst = extra_pos = None
+    if side.extra_dst is not None:
+        e_owner, e_local = owner_and_local(
+            np.asarray(side.extra_pos).astype(np.int64)
+        )
+        counts = np.bincount(e_owner, minlength=n_shards)
+        e_max = max(1, int(counts.max()))
+        extra_dst = np.zeros((n_shards, e_max), dtype=np.int32)
+        extra_pos = np.full((n_shards, e_max), local_len, dtype=np.int32)
+        slot = np.zeros(n_shards, dtype=np.int64)
+        for j, (o, lp) in enumerate(zip(e_owner, e_local)):
+            extra_dst[o, slot[o]] = np.asarray(side.extra_dst)[j]
+            extra_pos[o, slot[o]] = lp
+            slot[o] += 1
 
     return ShardedEllSide(
         cols=tuple(cols),
@@ -351,6 +462,8 @@ def _shard_side(side: EllSide, n_shards: int) -> ShardedEllSide:
         n_rows=side.n_rows,
         local_len=local_len,
         n_shards=n_shards,
+        extra_dst=extra_dst,
+        extra_pos=extra_pos,
     )
 
 
@@ -373,6 +486,8 @@ def apply_sharded_side_local(
     assemble_local: jax.Array,  # (n_rows,) this shard's gather map
     x: jax.Array,  # (S, d) FULL source table (replicated per device)
     edge_mask: Optional[jax.Array] = None,  # (E,) canonical-order keep mask
+    extra_dst_local: Optional[jax.Array] = None,  # (E_max,) split-row chunks
+    extra_pos_local: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One shard's partial of ``W @ x``: (n_rows, d) with zeros on rows
     this shard doesn't own. A psum over the mesh completes the rows.
@@ -388,7 +503,14 @@ def apply_sharded_side_local(
     concat = jnp.concatenate(
         partials + [jnp.zeros((1, x.shape[-1]), dtype=x.dtype)], axis=0
     )
-    return jnp.take(concat, assemble_local, axis=0)
+    out = jnp.take(concat, assemble_local, axis=0)
+    if extra_dst_local is not None:
+        # overflow chunks of split mega rows owned by this shard; padding
+        # entries point at the local zero row and add zeros
+        out = out.at[extra_dst_local].add(
+            jnp.take(concat, extra_pos_local, axis=0)
+        )
+    return out
 
 
 # ----------------------------------------------------------------- apply
@@ -430,7 +552,14 @@ def _apply_side(
     concat = jnp.concatenate(
         partials + [jnp.zeros((1, x.shape[-1]), dtype=x.dtype)], axis=0
     )
-    return jnp.take(concat, side.assemble, axis=0)
+    out = jnp.take(concat, side.assemble, axis=0)
+    if side.extra_dst is not None:
+        # overflow chunks of split mega rows: a scatter-add over only
+        # those few chunk outputs (see EllSide docstring)
+        out = out.at[side.extra_dst].add(
+            jnp.take(concat, side.extra_pos, axis=0)
+        )
+    return out
 
 
 @jax.custom_vjp

@@ -136,6 +136,9 @@ class GraphShardings:
                     for _ in side.buckets
                 ),
                 assemble=rep,
+                # split-row overflow chunks (tiny) replicate
+                extra_dst=rep if side.extra_dst is not None else None,
+                extra_pos=rep if side.extra_pos is not None else None,
             )
 
         return dataclasses.replace(

@@ -193,9 +193,11 @@ class Trainer:
         num_batches = max(1, -(-epoch_size // B))
         # steps_per_scan chunks the epoch: each chunk samples its own
         # triplets and runs one scan segment, bounding the (chunk, B)
-        # batch buffers on device — needed when --epoch_samples reaches
-        # tens of millions. 0 = whole epoch in one sample + one scan.
-        spc = self.cfg.train.steps_per_scan or num_batches
+        # batch buffers on device AND the single-dispatch duration —
+        # multi-minute single executions fault the TPU worker
+        # non-deterministically (see TrainConfig.steps_per_scan).
+        # 0 = auto: whole epoch, capped at 128 steps per segment.
+        spc = self.cfg.train.steps_per_scan or min(num_batches, 128)
         if spc < 1:
             raise ValueError(
                 f"steps_per_scan must be >= 0, got {self.cfg.train.steps_per_scan}"

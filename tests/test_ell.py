@@ -124,3 +124,117 @@ def test_ell_bucket_shapes_cover_all_edges(tiny_data):
         assert side.assemble.shape == (n_rows,)
         total_w = sum(float(np.asarray(b.w).sum()) for b in side.buckets)
         np.testing.assert_allclose(total_w, w.sum(), rtol=1e-5)
+
+
+def test_mega_row_splitting_matches_unsplit(rng):
+    """Rows wider than max_width split into overflow chunks summed back
+    via extra_dst/extra_pos — output must equal the unsplit build (and
+    the mega-hub bucket shapes stay <= max_width). Round-3 fix for the
+    yelp-scale TPU-worker crash (a 540k-degree synthetic hub produced a
+    (1, 2^20)-wide bucket whose compiled gather faulted the worker)."""
+    import jax.numpy as jnp
+
+    n_u, m_i, d = 40, 300, 8
+    rng_ = np.random.default_rng(7)
+    # user 3 is a mega-hub: degree 250 >> max_width=32
+    hub_items = rng_.choice(m_i, 250, replace=False)
+    other_u = rng_.integers(0, n_u, 400)
+    other_i = rng_.integers(0, m_i, 400)
+    users = np.concatenate([np.full(250, 3), other_u]).astype(np.int64)
+    items = np.concatenate([hub_items, other_i]).astype(np.int64)
+    w = rng_.random(users.size).astype(np.float32)
+
+    ref = build_ell_graph(users, items, w, n_u, m_i)  # default: no split
+    split = build_ell_graph(users, items, w, n_u, m_i, max_width=32)
+    assert split.by_user.extra_dst is not None
+    assert all(b.cols.shape[1] <= 32 for b in split.by_user.buckets)
+
+    u = rng.standard_normal((n_u, d)).astype(np.float32)
+    i = rng.standard_normal((m_i, d)).astype(np.float32)
+    ru, ri = ell_propagate_layer(ref, jnp.asarray(u), jnp.asarray(i), None)
+    su, si = ell_propagate_layer(split, jnp.asarray(u), jnp.asarray(i), None)
+    np.testing.assert_allclose(np.asarray(su), np.asarray(ru), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(si), np.asarray(ri), atol=1e-4)
+
+    # backward (custom VJP routes through the opposite side's layout)
+    def f(g, u, i):
+        nu, ni = ell_propagate_layer(g, u, i, None)
+        return (nu**2).sum() + jnp.sin(ni).sum()
+
+    gu_r, gi_r = jax.grad(f, argnums=(1, 2))(ref, jnp.asarray(u), jnp.asarray(i))
+    gu_s, gi_s = jax.grad(f, argnums=(1, 2))(split, jnp.asarray(u), jnp.asarray(i))
+    np.testing.assert_allclose(np.asarray(gu_s), np.asarray(gu_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gi_s), np.asarray(gi_r), atol=1e-4)
+
+    # hash dropout must see REAL dst ids on overflow chunks — split and
+    # unsplit builds must drop the same edge set (fwd and bwd)
+    from gsrs_tpu.ops.hashdrop import hashdrop_from_key
+
+    drop = hashdrop_from_key(jax.random.key(3), 0.6)
+    du, di = ell_propagate_layer(ref, jnp.asarray(u), jnp.asarray(i), None, drop)
+    su2, si2 = ell_propagate_layer(split, jnp.asarray(u), jnp.asarray(i), None, drop)
+    np.testing.assert_allclose(np.asarray(su2), np.asarray(du), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(si2), np.asarray(di), atol=1e-4)
+
+    def fd(g, u, i):
+        nu, ni = ell_propagate_layer(g, u, i, None, drop)
+        return (nu**2).sum() + jnp.sin(ni).sum()
+
+    gdu_r, gdi_r = jax.grad(fd, argnums=(1, 2))(ref, jnp.asarray(u), jnp.asarray(i))
+    gdu_s, gdi_s = jax.grad(fd, argnums=(1, 2))(split, jnp.asarray(u), jnp.asarray(i))
+    np.testing.assert_allclose(np.asarray(gdu_s), np.asarray(gdu_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gdi_s), np.asarray(gdi_r), atol=1e-4)
+
+    # non-pow2 max_width rounds DOWN so the cap still holds
+    split100 = build_ell_graph(users, items, w, n_u, m_i, max_width=100)
+    assert all(b.cols.shape[1] <= 100 for b in split100.by_user.buckets)
+
+
+def test_mega_row_splitting_pad_and_shard(rng):
+    """pad_ell_graph must remap extra_pos; shard_ell_graph must route
+    each overflow chunk to its owner shard (local apply + sum over
+    shards == unsharded)."""
+    import jax.numpy as jnp
+
+    from gsrs_tpu.ops.ell import (
+        apply_sharded_side_local,
+        pad_ell_graph,
+        shard_ell_graph,
+    )
+
+    n_u, m_i, d = 24, 120, 8
+    rng_ = np.random.default_rng(8)
+    hub_items = rng_.choice(m_i, 90, replace=False)
+    users = np.concatenate([np.full(90, 5), rng_.integers(0, n_u, 200)])
+    items = np.concatenate([hub_items, rng_.integers(0, m_i, 200)])
+    w = rng_.random(users.size).astype(np.float32)
+    split = build_ell_graph(
+        users.astype(np.int64), items.astype(np.int64), w, n_u, m_i,
+        max_width=16,
+    )
+    u = jnp.asarray(rng.standard_normal((n_u, d)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((m_i, d)).astype(np.float32))
+    ref_u, ref_i = ell_propagate_layer(split, u, x, None)
+
+    padded = pad_ell_graph(split, 4)
+    pu, pi = ell_propagate_layer(padded, u, x, None)
+    np.testing.assert_allclose(np.asarray(pu), np.asarray(ref_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pi), np.asarray(ref_i), atol=1e-5)
+
+    sell = shard_ell_graph(split, 4)
+    for side, src, ref in ((sell.by_user, x, ref_u), (sell.by_item, u, ref_i)):
+        acc = np.zeros(ref.shape, np.float32)
+        for s in range(4):
+            cols = tuple(
+                c.reshape(4, -1, c.shape[1])[s] for c in side.cols
+            )
+            ws = tuple(c.reshape(4, -1, c.shape[1])[s] for c in side.w)
+            es = tuple(c.reshape(4, -1, c.shape[1])[s] for c in side.eidx)
+            acc += np.asarray(
+                apply_sharded_side_local(
+                    cols, ws, es, side.assemble[s], src, None,
+                    side.extra_dst[s] if side.extra_dst is not None else None,
+                    side.extra_pos[s] if side.extra_pos is not None else None,
+                )
+            )
+        np.testing.assert_allclose(acc, np.asarray(ref), atol=1e-4)

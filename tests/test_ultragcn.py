@@ -98,7 +98,34 @@ def test_loss_requires_step_key(tiny_data):
         model.bpr_loss(params, u, u, u)
 
 
-@pytest.mark.parametrize("sharing", ["none", "batch", "group", "full"])
+def test_pool_estimator_expectation_matches_full(tiny_data):
+    """'pool' draws per-example distinct subsets from a shared uniform
+    pool — in expectation (over keys) its negative term equals the 'full'
+    closed form (mean over the whole catalog), like 'none' does."""
+    import dataclasses as dc
+
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    cfg = _cfg(ug_neg_num=32, ug_neg_sharing="pool", ug_neg_pool=256,
+               ug_lambda=0.0)
+    model = UltraGCN(cfg, g)
+    params = model.init_params(jax.random.key(0))
+    # non-trivial embeddings so scores vary
+    params = {k: 50.0 * v for k, v in params.items()}
+    users = jnp.array([0, 1, 2, 3])
+    pos = jnp.array([1, 2, 3, 4])
+    full_model = UltraGCN(dc.replace(cfg, ug_neg_sharing="full"), g)
+    ref, _ = full_model.bpr_loss(
+        params, users, pos, pos, dropout_key=jax.random.key(0)
+    )
+    f = jax.jit(
+        lambda k: model.bpr_loss(params, users, pos, pos, dropout_key=k)[0]
+    )
+    n = 400
+    acc = sum(float(f(jax.random.key(s))) for s in range(n)) / n
+    np.testing.assert_allclose(acc, float(ref), rtol=0.05)
+
+
+@pytest.mark.parametrize("sharing", ["none", "batch", "group", "full", "pool"])
 def test_loss_finite_and_grads_flow(tiny_data, sharing):
     g = build_graph(tiny_data, edge_pad_multiple=64)
     model = UltraGCN(
@@ -210,6 +237,55 @@ def test_sift_pos_matches_numpy_oracle(tiny_data):
         w = np.where(R[u], 0.0, w)
         neg = w @ sp(scores) / (m - R[u].sum())
         total += w_pos * sp(-s_pos) + cfg.ug_neg_weight * neg
+    assert float(loss) == pytest.approx(total, rel=2e-5)
+
+
+def test_pool_sift_pos_zeroes_positives(tiny_data):
+    """'pool' + ug_sift_pos: pool entries that are the user's train
+    positives must contribute zero weight and shrink that example's
+    denominator — verified against a per-example numpy recomputation of
+    the same pool and inclusion mask."""
+    from gsrs_tpu.models.ultragcn import TrainBitset
+    from gsrs_tpu.ops.bitset import build_bitset
+
+    g = build_graph(tiny_data, edge_pad_multiple=64)
+    n, m = tiny_data.n_users, tiny_data.m_items
+    cfg = _cfg(ug_neg_sharing="pool", ug_neg_pool=64, ug_neg_num=32,
+               ug_sift_pos=True, ug_lambda=0.0)
+    model = UltraGCN(cfg, g)
+    params = model.init_params(jax.random.key(3))
+    bitset = TrainBitset(
+        jnp.asarray(
+            build_bitset(tiny_data.train_users, tiny_data.train_items, n, m)
+        )
+    )
+    users = jnp.array([0, 1, 5])
+    pos = jnp.array([2, 3, 4])
+    key = jax.random.key(0)
+    loss, _ = model.bpr_loss(params, users, pos, pos, dropout_key=key,
+                             ell=bitset)
+    # reproduce the pool + inclusion mask exactly as the estimator does
+    k_pool, k_inc = jax.random.split(key)
+    pool = np.asarray(jax.random.randint(k_pool, (64,), 0, m))
+    include = np.asarray(jax.random.bernoulli(k_inc, 32 / 64, (3, 64)))
+    U = np.asarray(params["user_emb"])
+    I = np.asarray(params["item_emb"])
+    du = tiny_data.user_degrees.astype(np.float64)
+    di = tiny_data.item_degrees.astype(np.float64)
+    beta_u = np.sqrt(du + 1) / np.maximum(du, 1e-12)
+    beta_i = 1.0 / np.sqrt(di + 1)
+    R = np.zeros((n, m), dtype=bool)
+    R[tiny_data.train_users, tiny_data.train_items] = True
+    sp = lambda x: np.logaddexp(0.0, x)
+    total = 0.0
+    for b in range(3):
+        u, p = int(users[b]), int(pos[b])
+        w_pos = cfg.ug_w1 + cfg.ug_w2 * beta_u[u] * beta_i[p]
+        sel = include[b] & ~R[u][pool]
+        w = (cfg.ug_w3 + cfg.ug_w4 * beta_u[u] * beta_i[pool]) * sel
+        denom = max(sel.sum(), 1)
+        neg = (w * sp(U[u] @ I[pool].T)).sum() / denom
+        total += w_pos * sp(-U[u] @ I[p]) + cfg.ug_neg_weight * neg
     assert float(loss) == pytest.approx(total, rel=2e-5)
 
 

@@ -82,16 +82,24 @@ def main():
     trained = state.epoch > 0
     print(f"[params] {'restored @ epoch ' + str(state.epoch) if trained else 'RANDOM (latency unaffected)'}")
 
+    # propagate ONCE; derive every variant from the same embeddings
+    # (retriever_from_model re-jits + re-runs the propagation per call)
+    base = retriever_from_model(model, state.params, data, batch_size=256)
     results = []
     for quant in (None, "int8"):
         if quant is None:
             retr = {
-                1: retriever_from_model(model, state.params, data, batch_size=1),
-                256: retriever_from_model(model, state.params, data, batch_size=256),
+                1: Retriever(
+                    user_emb=base.user_emb,
+                    item_emb=base.item_emb,
+                    seen_bitset=base.seen_bitset,
+                    batch_size=1,
+                ),
+                256: base,
             }
         else:
             path = os.path.join(REPO, "results", "_bench_serving_int8.npz")
-            export_embeddings(model, state.params, data, path, quantize="int8")
+            export_embeddings(base, path, quantize="int8")
             retr = {
                 1: load_retriever(path, batch_size=1),
                 256: load_retriever(path, batch_size=256),

@@ -1,4 +1,8 @@
 """Drive: clustered synthetic data -> held-out items are predictable."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp, optax
 from gsrs_tpu.data.dataset import InteractionData
 from gsrs_tpu.data.adjacency import build_graph

@@ -73,7 +73,10 @@ def main():
             return acc + jnp.sum(row_val)
 
         acc = jax.lax.fori_loop(0, B, body, jnp.float32(0.0))
-        out_ref[i] = acc
+        # scalar result into the whole-array SMEM block at this step's
+        # row — Mosaic cannot store scalars to VMEM, and per-step (1,1)
+        # blocks fail the (8,128)-divisibility rule (round-3 findings)
+        out_ref[i, 0] = acc
 
     x = jnp.asarray(np.random.default_rng(0).normal(size=(N, D)).astype(np.float32))
     idx = jnp.asarray(np.random.default_rng(1).integers(0, N, M).astype(np.int32))
@@ -82,11 +85,12 @@ def main():
         num_scalar_prefetch=1,
         grid=(M // B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        # full-array output block (rank-1 blocks must be the whole axis or
-        # a multiple of 128; one scalar per grid step is neither, and the
-        # whole (M//B,) f32 vector is only KBs of VMEM)
+        # whole-array SMEM output block: scalars cannot be stored to
+        # VMEM, and this Mosaic requires blocks either (8,128)-divisible
+        # or equal to the full array — (1,1) per-step blocks are neither
+        # (both walls recorded in results/probe_pallas_gather.log)
         out_specs=pl.BlockSpec(
-            (M // B,), lambda i, *_: (0,), memory_space=pltpu.VMEM
+            (M // B, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * K, D), jnp.float32),
@@ -96,12 +100,12 @@ def main():
 
     fn = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((M // B,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M // B, 1), jnp.float32),
         grid_spec=grid_spec,
     )
 
     try:
-        out = jax.block_until_ready(fn(idx, x))
+        out = jax.block_until_ready(fn(idx, x))[:, 0]
     except Exception as e:
         print(json.dumps({
             "result": "DOES_NOT_LOWER",

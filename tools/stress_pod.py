@@ -128,14 +128,27 @@ def big_synthetic(n_users: int, m_items: int, avg_degree: int, seed: int = 0):
     items = np.empty(total, dtype=np.int32)
     # Zipf via inverse-CDF on uniform — avoids a 10M-entry choice() p-vector
     s = 1.1
+    # Round-3 fix (root cause of the yelp-scale TPU-worker crash): the
+    # round-2 version CLAMPED every out-of-range draw of the unbounded
+    # inverse CDF onto rank m_items−1 — u < m^-(s-1) is ~35% of all
+    # draws at these shapes, so ONE item got degree 540k and the ELL
+    # builder produced a degenerate (1, 2^20)-wide bucket whose compiled
+    # gather faulted the worker. Real catalogs have truncated heads
+    # (gowalla's most popular item holds 0.17% of interactions), so:
+    # out-of-range draws spread uniformly over the whole catalog, and
+    # the top HEAD ranks are flattened among themselves, capping every
+    # item's share at ≈ P(rank<HEAD)/HEAD ≈ 0.46/512 ≈ 0.09% while the
+    # tail stays exactly Zipf.
+    HEAD = max(1, min(512, m_items // 64))
     for lo in range(0, total, 50_000_000):
         hi = min(lo + 50_000_000, total)
         u = rng.random(hi - lo)
-        # approximate inverse CDF of rank^-s popularity; clamp on the
-        # float side (u→0 gives inf, which casts to int64 invalidly)
-        ranks = np.minimum(
-            u ** (-1.0 / (s - 1.0)) - 1.0, float(m_items - 1)
-        ).astype(np.int64)
+        raw = u ** (-1.0 / (s - 1.0)) - 1.0  # unbounded inverse CDF
+        over = ~(raw < float(m_items))  # catches inf/NaN too
+        ranks = np.where(over, 0.0, raw).astype(np.int64)
+        ranks[over] = rng.integers(0, m_items, int(over.sum()))
+        head = ranks < HEAD
+        ranks[head & ~over] = rng.integers(0, HEAD, int((head & ~over).sum()))
         items[lo:hi] = ranks.astype(np.int32)
     return InteractionData(
         name=f"stress-{n_users}x{m_items}",
