@@ -159,10 +159,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk_recall_target", type=float, default=0.98)
     p.add_argument(
         "--use_pallas_scoring",
-        action="store_true",
+        nargs="?",
+        const="on",  # bare `--use_pallas_scoring` keeps forcing it on
+        type=str,
+        default="auto",
+        choices=["auto", "on", "off"],
         help="fused masked-scoring Pallas kernel (bit-plane variant) for "
         "eval — exact-equal metrics; ~1.9x faster than the XLA path on "
-        "catalogs of ~90k+ items (BENCH_NOTES round 3)",
+        "catalogs of ~90k+ items (BENCH_NOTES round 3). 'auto' (default) "
+        "enables it on TPU when the catalog has >= 64k items",
     )
     p.add_argument(
         "--epoch_samples",

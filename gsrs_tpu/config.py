@@ -199,6 +199,11 @@ class TrainConfig:
     # worst measured per-step cost (~200 ms, amazon-scale ELL b2048) to
     # ~25 s per dispatch while leaving every headline Gowalla config
     # (b8192 = 99 steps, b16384 = 50) in a single segment.
+    # NOTE (behavior change, round 3): 0 previously meant "whole epoch
+    # in one scan"; it now caps at 128 steps/segment, which changes the
+    # sampling RNG stream and buffer shapes for configs with >128
+    # steps/epoch. Pass -1 to force the old uncapped single-scan
+    # behavior (fault-reproduction / debugging only).
     steps_per_scan: int = 0
 
 
@@ -221,8 +226,15 @@ class EvalConfig:
     # back). Variant 'natural' keeps natural column order but its 3D→2D
     # bit-unpack reshape does NOT compile under Mosaic (round-2 wall,
     # results/bench_eval.log) — interpret/testing only.
-    use_pallas_scoring: bool = False
+    #
+    # "auto" (default): use the bitplane kernel on a TPU backend when the
+    # catalog is at least ``pallas_auto_min_items`` — there it is exact
+    # AND ~1.9x faster than the XLA path (results/bench_eval_r3.log) —
+    # otherwise the XLA masked-top-k path. True/"on" forces the kernel,
+    # False/"off" forces XLA.
+    use_pallas_scoring: object = "auto"  # bool | "auto" | "on" | "off"
     pallas_variant: str = "bitplane"
+    pallas_auto_min_items: int = 65536
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,8 +53,8 @@ class InteractionData:
     # building membership bitsets pass real_m_items to build_bitset so
     # phantom ids are rejected as negatives and masked out of top-k;
     # serving slices exports back to the real sizes.
-    real_m_items: int = None
-    real_n_users: int = None
+    real_m_items: Optional[int] = None
+    real_n_users: Optional[int] = None
 
     # ------------------------------------------------------------ derived
     @property

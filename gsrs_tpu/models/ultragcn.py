@@ -353,11 +353,13 @@ class UltraGCN(LightGCN):
             # the chip because per-element selection gathers (and their
             # scatter-add cotangents) are issue-rate bound; the
             # inclusion mask is pure elementwise VPU work with zero
-            # gathers. Each example sees Binomial(P, N/P) ≈ N DISTINCT
-            # negatives (inclusion sampling is draw-without-replacement,
-            # strictly less collision-prone than the paper's
-            # with-replacement draws). One P-row gather + one
-            # (B,d)×(d,P) MXU matmul per step.
+            # gathers. Each example sees Binomial(P, N/P) ≈ N pool SLOTS
+            # (distinct slots, not necessarily distinct item ids — the
+            # pool itself is drawn with replacement), so this is
+            # approximately the paper's 'none' estimator; normalizing by
+            # the realized per-example count is a ratio estimator with
+            # O(1/N) bias relative to a fixed-N draw. One P-row gather +
+            # one (B,d)×(d,P) MXU matmul per step.
             P = cfg.ug_neg_pool
             k_pool, k_inc = jax.random.split(dropout_key)
             pool = jax.random.randint(k_pool, (P,), 0, self.m_items)

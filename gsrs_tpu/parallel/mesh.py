@@ -44,6 +44,15 @@ def distributed_init() -> None:
     pid = os.environ.get("GSRS_PROCESS_ID") or os.environ.get(
         "JAX_PROCESS_ID"
     )
+    if addr and (nproc is None) != (pid is None):
+        # A partial explicit config is almost certainly a launcher bug:
+        # falling through to auto-detection would silently degrade a
+        # plain ssh-loop launch to N independent single-process runtimes.
+        raise RuntimeError(
+            "JAX_COORDINATOR_ADDRESS is set but only one of "
+            "GSRS_NUM_PROCESSES/GSRS_PROCESS_ID (or JAX_*) is present — "
+            "set both (explicit launcher) or neither (auto-detect)"
+        )
     if addr and nproc is not None and pid is not None:
         try:
             jax.distributed.initialize(

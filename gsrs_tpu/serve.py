@@ -92,7 +92,60 @@ class Retriever:
         # one jitted program per request: gathers + scoring + masked top-k
         # (gathering outside jit would cost two extra device dispatches per
         # chunk — expensive through a remote-device tunnel or across shards)
-        if self.user_scale is None:
+        use_bitplane = (
+            self.mesh is None
+            and self.user_scale is None
+            and self._real_m >= 65536
+            and jax.default_backend() == "tpu"
+        )
+        if use_bitplane:
+            # Large-catalog fast path (same auto-select rule as the
+            # Evaluator): the fused bitplane Pallas kernel is exact and
+            # ~1.9x faster than matmul+mask+top-k at amazon-book scale
+            # (results/bench_eval_r3.log). Item rows are permuted once at
+            # load; result columns map back through the permutation.
+            from gsrs_tpu.ops.pallas_kernels import (
+                bitplane_permutation,
+                masked_scores_bitplane_pallas,
+            )
+            from gsrs_tpu.ops.topk import topk_scores
+
+            block_m = 4096
+            m = self._real_m
+            m_pad = -(-m // block_m) * block_m
+            perm = bitplane_permutation(m_pad, block_m).astype(np.int32)
+            self._bp_perm = jnp.asarray(perm)
+            self.item_emb = jnp.pad(
+                self.item_emb, ((0, m_pad - m), (0, 0))
+            )[self._bp_perm]
+            # pad the seen-bitset to m_pad/32 words with every phantom
+            # column set, so pad items can never surface in top-k
+            sb = np.asarray(self.seen_bitset)
+            W, W_pad = sb.shape[1], m_pad // 32
+            sb = np.pad(
+                sb, ((0, 0), (0, W_pad - W)),
+                constant_values=np.uint32(0xFFFFFFFF),
+            )
+            if m % 32:
+                sb[:, W - 1] |= np.uint32(0xFFFFFFFF) << np.uint32(m % 32)
+            self.seen_bitset = jnp.asarray(sb)
+
+            def _serve_bp(user_emb, item_emb_p, seen, perm, ids, k):
+                scores = masked_scores_bitplane_pallas(
+                    user_emb[ids], item_emb_p, seen[ids], block_m=block_m
+                )
+                vals, cols = topk_scores(scores, k)
+                top = perm[cols]
+                top = jnp.minimum(top, m - 1)  # phantom cols are NEG_INF-
+                return vals, top  # masked; clamp keeps ids in range
+
+            self._fn = jax.jit(
+                lambda ue, ie, seen, ids, k: _serve_bp(
+                    ue, ie, seen, self._bp_perm, ids, k
+                ),
+                static_argnames=("k",),
+            )
+        elif self.user_scale is None:
 
             def _serve(user_emb, item_emb, seen, ids, k):
                 return masked_topk(user_emb[ids], item_emb, seen[ids], k)

@@ -32,6 +32,26 @@ from gsrs_tpu.ops.metrics import batch_metrics, topk_labels
 from gsrs_tpu.ops.topk import masked_topk
 
 
+def resolve_pallas_scoring(cfg: EvalConfig, m_items: int) -> bool:
+    """Resolve EvalConfig.use_pallas_scoring ("auto" | on | off) for a
+    concrete catalog size and backend (VERDICT r3 item 4: the bitplane
+    kernel is exact and ~1.9x faster than XLA at amazon-book scale —
+    results/bench_eval_r3.log — so on large catalogs it is the default,
+    not an opt-in flag)."""
+    v = cfg.use_pallas_scoring
+    if v is True or v == "on":
+        return True
+    if v is False or v == "off":
+        return False
+    # "auto": only the bitplane variant compiles under Mosaic, and only
+    # on a real TPU backend; below the threshold XLA-exact already wins.
+    return (
+        cfg.pallas_variant == "bitplane"
+        and m_items >= cfg.pallas_auto_min_items
+        and jax.default_backend() == "tpu"
+    )
+
+
 class Evaluator:
     def __init__(
         self,
@@ -89,7 +109,8 @@ class Evaluator:
         self._users_dev = jnp.asarray(self.user_batches)
         self._weights_dev = jnp.asarray(self.user_weights)
         self._gt_dev = jnp.asarray(self.gt_counts[self.user_batches])
-        if cfg.use_pallas_scoring and cfg.pallas_variant == "bitplane":
+        self._pallas_on = resolve_pallas_scoring(cfg, data.m_items)
+        if self._pallas_on and cfg.pallas_variant == "bitplane":
             from gsrs_tpu.ops.pallas_kernels import bitplane_permutation
 
             self._bp_block_m = 4096
@@ -129,7 +150,7 @@ class Evaluator:
     ) -> Dict[str, jax.Array]:
         u_emb = all_users[users]
         train_rows = train_bitset[users]
-        if self.cfg.use_pallas_scoring and self.cfg.pallas_variant == "bitplane":
+        if self._pallas_on and self.cfg.pallas_variant == "bitplane":
             from gsrs_tpu.ops.pallas_kernels import masked_scores_bitplane_pallas
             from gsrs_tpu.ops.topk import topk_scores
 
@@ -153,9 +174,16 @@ class Evaluator:
                 scores, self.max_k, self.cfg.topk_method, self.cfg.topk_recall_target
             )
             top_items = self._bp_perm[top_cols]  # back to natural item ids
-            labels = topk_labels(top_items, test_bitset, users)
+            # Phantom padded columns map to ids >= m_items; they only
+            # surface for degenerate users whose whole row is NEG_INF
+            # ties, but an unclamped id would index test_bitset out of
+            # range (JAX clamps to the last word → possible spurious
+            # hit). Zero those labels explicitly.
+            valid = (top_items < self._bp_m).astype(jnp.float32)
+            top_items = jnp.minimum(top_items, self._bp_m - 1)
+            labels = topk_labels(top_items, test_bitset, users) * valid
             return batch_metrics(labels, gt_counts, weights, self.cfg.topks)
-        if self.cfg.use_pallas_scoring:
+        if self._pallas_on:
             from gsrs_tpu.ops.pallas_kernels import masked_scores_pallas
             from gsrs_tpu.ops.topk import topk_scores
 
@@ -208,7 +236,7 @@ class Evaluator:
         all_users, items, _ = self._final_fn(
             params, self.model.graph, self.model.ell
         )
-        if self.cfg.use_pallas_scoring and self.cfg.pallas_variant == "bitplane":
+        if self._pallas_on and self.cfg.pallas_variant == "bitplane":
             items = self._bp_permute_items(items)
         totals = self._scan_fn(
             all_users,

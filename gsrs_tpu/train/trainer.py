@@ -197,10 +197,14 @@ class Trainer:
         # multi-minute single executions fault the TPU worker
         # non-deterministically (see TrainConfig.steps_per_scan).
         # 0 = auto: whole epoch, capped at 128 steps per segment.
+        # -1 = force the whole epoch into ONE uncapped scan segment (the
+        # pre-round-3 behavior) — for fault-reproduction experiments only.
         spc = self.cfg.train.steps_per_scan or min(num_batches, 128)
+        if spc == -1:
+            spc = num_batches
         if spc < 1:
             raise ValueError(
-                f"steps_per_scan must be >= 0, got {self.cfg.train.steps_per_scan}"
+                f"steps_per_scan must be >= -1, got {self.cfg.train.steps_per_scan}"
             )
 
         def _place(batches):

@@ -136,3 +136,24 @@ def test_compute_ppr_weights_rows_normalized(tiny_data):
     assert W.shape == (tiny_data.n_users + tiny_data.m_items, 4)
     np.testing.assert_allclose(W.sum(axis=1), 1.0, rtol=1e-9)
     assert (W >= 0).all()
+
+
+def test_pallas_scoring_flag_forms():
+    """--use_pallas_scoring: absent = auto, bare = on, value = as given."""
+    from gsrs_tpu.cli import build_parser, config_from_args
+
+    p = build_parser()
+    base = ["--dataset", "gowalla"]
+    assert config_from_args(p.parse_args(base)).eval.use_pallas_scoring == "auto"
+    assert (
+        config_from_args(
+            p.parse_args(base + ["--use_pallas_scoring"])
+        ).eval.use_pallas_scoring
+        == "on"
+    )
+    assert (
+        config_from_args(
+            p.parse_args(base + ["--use_pallas_scoring", "off"])
+        ).eval.use_pallas_scoring
+        == "off"
+    )

@@ -61,3 +61,33 @@ def test_evaluator_batch_size_invariance(tiny_data):
     r2 = Evaluator(tiny_data, model, EvalConfig(test_batch=64, topks=(10,))).run(params)
     for key in r1:
         np.testing.assert_allclose(r1[key], r2[key], atol=1e-6)
+
+
+def test_pallas_autoselect_resolution():
+    """'auto' turns the bitplane kernel on only for TPU + large catalogs
+    (VERDICT r3 item 4); explicit on/off always wins."""
+    from unittest import mock
+
+    from gsrs_tpu.train.evaluator import resolve_pallas_scoring
+
+    auto = EvalConfig()
+    assert auto.use_pallas_scoring == "auto"
+    # CPU backend (this test env): auto resolves off at any size
+    assert resolve_pallas_scoring(auto, 100_000) is False
+    # Forced on/off ignore backend and size
+    assert resolve_pallas_scoring(
+        EvalConfig(use_pallas_scoring=True), 10
+    ) is True
+    assert resolve_pallas_scoring(
+        EvalConfig(use_pallas_scoring="on"), 10
+    ) is True
+    assert resolve_pallas_scoring(
+        EvalConfig(use_pallas_scoring="off"), 10**6
+    ) is False
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert resolve_pallas_scoring(auto, 100_000) is True
+        assert resolve_pallas_scoring(auto, 40_981) is False  # gowalla
+        # the 'natural' variant never auto-selects (no Mosaic compile)
+        assert resolve_pallas_scoring(
+            EvalConfig(pallas_variant="natural"), 100_000
+        ) is False

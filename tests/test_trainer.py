@@ -170,3 +170,20 @@ def test_early_stopping(tiny_cluster_data, tmp_path):
     state = trainer.fit(epochs=50, verbose=False)
     # evals happen at e0 (sets best) and e5 (no improvement → stop)
     assert state.epoch == 5
+
+
+def test_steps_per_scan_uncapped_matches_auto_below_cap(tiny_cluster_data, tmp_path):
+    """-1 forces one uncapped scan segment. On a tiny dataset (fewer than
+    128 steps/epoch) auto (0) already runs a single segment, so the two
+    must be bit-identical — same RNG stream, same scan structure."""
+    t1 = make_trainer(tiny_cluster_data, tmp_path / "a")
+    t2 = make_trainer(tiny_cluster_data, tmp_path / "b", steps_per_scan=-1)
+    assert t1.steps_per_epoch <= 128
+    s1, s2 = t1.init_state(), t2.init_state()
+    for _ in range(3):
+        s1, l1 = t1.train_epoch(s1)
+        s2, l2 = t2.train_epoch(s2)
+    assert l1 == l2
+    np.testing.assert_array_equal(
+        np.asarray(s1.params["user_emb"]), np.asarray(s2.params["user_emb"])
+    )

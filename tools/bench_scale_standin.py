@@ -52,6 +52,11 @@ def drive():
     ap.add_argument("--shapes", nargs="+", default=list(SHAPES))
     ap.add_argument("--timed_epochs", type=int, default=2)
     ap.add_argument("--hybrid_cols", type=int, default=8192)
+    ap.add_argument(
+        "--timeout", type=int, default=1800,
+        help="per-config subprocess timeout (s); amazon-book-scale b2048 "
+        "runs ~1450 steps/epoch x 3 epochs and cannot fit the old 900",
+    )
     args = ap.parse_args()
 
     for shape in args.shapes:
@@ -66,7 +71,7 @@ def drive():
                 attempts = (1, 2)
                 for attempt in attempts:
                     try:
-                        r = subprocess.run(cmd, timeout=900)
+                        r = subprocess.run(cmd, timeout=args.timeout)
                         if r.returncode == 0:
                             break
                     except subprocess.TimeoutExpired:

@@ -42,6 +42,26 @@ def bench_requests(fn, reqs, warmup=5):
     return lat
 
 
+def ondevice_ms(call, out0, iters=50):
+    """Warm pipelined per-dispatch time for a zero-arg jitted call.
+
+    One end-to-end `recommend` through the remote-device tunnel is
+    floor-bound at ~51 ms HTTP round-trip (BENCH_NOTES r3 serving
+    table), which hides every on-device difference at batch 1. Issuing
+    `iters` async dispatches and blocking ONCE amortizes the tunnel
+    round-trip away, so the per-iteration time approaches device
+    execution + async dispatch overhead (VERDICT r3 item 6)."""
+    import jax
+
+    jax.block_until_ready(out0)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = call()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint_dir", default="checkpoints/b8192-parity")
@@ -110,13 +130,24 @@ def main():
                 for _ in range(args.reps)
             ]
             lat = bench_requests(lambda q: r.recommend(q, k=20), reqs)
+            # on-device: the same compiled program on device-resident
+            # inputs, tunnel round-trip amortized out
+            import jax.numpy as jnp
+
+            ids_dev = jnp.asarray(np.asarray(reqs[0], np.int32))
+            dev_call = lambda: r._fn(
+                r.user_emb, r.item_emb, r.seen_bitset, ids_dev, k=20
+            )
+            dev_ms = ondevice_ms(dev_call, dev_call(), iters=args.reps)
             results.append({
                 "family": "graph",
                 "quant": quant or "fp32",
                 "batch": B,
                 "p50_ms": round(pct(lat, 50) * 1e3, 2),
                 "p99_ms": round(pct(lat, 99) * 1e3, 2),
+                "ondevice_ms": round(dev_ms, 3),
                 "users_per_s": round(B / pct(lat, 50)),
+                "ondevice_users_per_s": round(B / (dev_ms / 1e3)),
             })
             print(json.dumps(results[-1]), flush=True)
 
@@ -131,13 +162,32 @@ def main():
             for _ in range(args.reps)
         ]
         lat = bench_requests(lambda s: sr.recommend(s, k=20), sessions)
+        # on-device: score+mask+top-k fused into one jitted program on
+        # device-resident inputs (recommend() itself runs top-k in a
+        # second dispatch — the fused form is what a chip-local server
+        # would run)
+        import jax.numpy as jnp
+        from gsrs_tpu.ops.topk import mask_train_positives, topk_scores
+
+        seqs0, seen0 = sr._encode_sessions(sessions[0])
+        seqs_dev, seen_dev = jnp.asarray(seqs0), jnp.asarray(seen0)
+        fused = jax.jit(
+            lambda p, q, s: topk_scores(
+                mask_train_positives(sm.score_catalog(p, q), s, data.m_items),
+                20,
+            )
+        )
+        dev_call = lambda: fused(sparams, seqs_dev, seen_dev)
+        dev_ms = ondevice_ms(dev_call, dev_call(), iters=args.reps)
         results.append({
             "family": "seq-sasrec",
             "quant": "fp32",
             "batch": B,
             "p50_ms": round(pct(lat, 50) * 1e3, 2),
             "p99_ms": round(pct(lat, 99) * 1e3, 2),
+            "ondevice_ms": round(dev_ms, 3),
             "sessions_per_s": round(B / pct(lat, 50)),
+            "ondevice_sessions_per_s": round(B / (dev_ms / 1e3)),
         })
         print(json.dumps(results[-1]), flush=True)
 

@@ -1,27 +1,35 @@
-"""Bisect the yelp-scale TPU-worker fault (VERDICT r2 item 2).
+"""Flake-rate experiment for the TPU-worker fault story (VERDICT r3 item 2).
 
-Facts so far (round 3): the fault reproduces with the REALISTIC
-generator (no mega-hub), in the first Trainer.train_epoch at
-yelp2018-scale b2048 ELL; gowalla (same code path, 810k edges,
-396-step epoch scan) has never faulted; the minimal jitted grad step
-at yelp shape runs fine even with the degenerate mega-hub layout.
+History: round 3 claimed single-dispatch executions past ~30 s fault the
+TPU worker non-deterministically, and mitigated with the 128-step scan
+cap (gsrs_tpu/train/trainer.py). The round-3 four-arm bisect then came
+back 4/4 OK — including a "242 s single dispatch" — seemingly
+contradicting the theory. BUT: that bisect ran AFTER the scan-cap commit
+(970cd61), and its arms used steps_per_scan=0, whose meaning the same
+commit changed from "one uncapped scan" to "auto-chunk at 128" — so
+every arm was chunked (~40 s max per dispatch) and the single-dispatch
+hypothesis was never actually tested. Arm A's loss equals arm C's
+bit-for-bit in results/probe_yelp_bisect.log (0.43477447...), which is
+only possible if both used the same chunking.
 
-Remaining variables between the working and faulting programs: graph
-shape (31,668×38,048 / 1.55M edges vs 29,858×40,981 / 810k) and epoch
-scan length (758 donated-buffer optimizer steps vs 396). This driver
-isolates them — each arm in its own subprocess so a worker fault kills
-one arm, not the sweep:
+This round-4 version uses steps_per_scan=-1 (force ONE uncapped scan,
+restored for exactly this experiment) and runs each arm N times to get a
+flake RATE, not a single pass/fail:
 
-  A yelp-shape, full 758-step scan      (repro control → expect fault)
-  B yelp-shape, epoch_samples=810128    (gowalla-length 396-step scan)
-  C yelp-shape, steps_per_scan=128      (chunked short scans)
-  D gowalla REAL data, epoch_samples=1552000 (758-step scan)
+  A yelp-shape b2048, ONE 758-step scan (~4 min single dispatch)
+  B yelp-shape b2048, gowalla-length 396-step single scan (~2 min)
+  C yelp-shape b2048, auto-chunked at 128 steps (mitigated control)
+  D gowalla REAL data b2048, 758-step single scan
 
-If B/C pass while A/D fault → scan length. If B/C fault too → the
-graph shape itself. If only A faults → interaction of both.
+If A/B/D fault at some rate while C never does → duration theory holds,
+auto-chunk is load-bearing. If nobody faults across all reps → the
+duration theory is dead and the r3 fault had another cause (the
+pre-970cd61 degenerate mega-hub generator is the prime suspect: the
+realistic-generator fix landed in the SAME commit as the scan cap, so
+the two variables were never separated).
 
-Usage: python tools/probe_yelp_bisect.py            # driver
-       python tools/probe_yelp_bisect.py --arm A    # one arm, in-process
+Usage: python tools/probe_yelp_bisect.py --arms A C --reps 5
+       python tools/probe_yelp_bisect.py --arm A    # one rep, in-process
 """
 
 import argparse
@@ -35,10 +43,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ARMS = {
-    "A": dict(shape="yelp", epoch_samples=0, steps_per_scan=0),
-    "B": dict(shape="yelp", epoch_samples=810128, steps_per_scan=0),
-    "C": dict(shape="yelp", epoch_samples=0, steps_per_scan=128),
-    "D": dict(shape="gowalla", epoch_samples=1552000, steps_per_scan=0),
+    "A": dict(shape="yelp", epoch_samples=0, steps_per_scan=-1),
+    "B": dict(shape="yelp", epoch_samples=810128, steps_per_scan=-1),
+    "C": dict(shape="yelp", epoch_samples=0, steps_per_scan=0),
+    "D": dict(shape="gowalla", epoch_samples=1552000, steps_per_scan=-1),
 }
 
 
@@ -88,22 +96,32 @@ def run_arm(arm: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arm", default=None, choices=list(ARMS))
+    ap.add_argument("--arms", nargs="+", default=list(ARMS), choices=list(ARMS))
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--timeout", type=int, default=900)
     args = ap.parse_args()
     if args.arm:
         run_arm(args.arm)
         return
-    for arm in ARMS:
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--arm", arm],
-                timeout=900,
-            )
-            status = "OK" if r.returncode == 0 else f"FAULT rc={r.returncode}"
-        except subprocess.TimeoutExpired:
-            status = "TIMEOUT"
-        print(json.dumps({"arm": arm, **ARMS[arm], "driver_sees": status}),
-              flush=True)
-        time.sleep(60)  # grant-release grace after a possible fault
+    tallies = {}
+    for arm in args.arms:
+        ok = 0
+        for rep in range(args.reps):
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--arm", arm],
+                    timeout=args.timeout,
+                )
+                status = "OK" if r.returncode == 0 else f"FAULT rc={r.returncode}"
+                ok += r.returncode == 0
+            except subprocess.TimeoutExpired:
+                status = "TIMEOUT"
+            print(json.dumps({
+                "arm": arm, "rep": rep, **ARMS[arm], "driver_sees": status,
+            }), flush=True)
+            time.sleep(30)  # grant-release grace after a possible fault
+        tallies[arm] = f"{ok}/{args.reps}"
+    print(json.dumps({"flake_tally_ok": tallies}), flush=True)
 
 
 if __name__ == "__main__":
