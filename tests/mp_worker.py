@@ -84,9 +84,71 @@ np.testing.assert_allclose(loss, ref_loss, rtol=1e-5)
 # one more step to exercise the donated buffers path across processes
 opt_state2 = optimizer.init(new_params)
 sharded_batch2 = tuple(jax.device_put(b, batch_s) for b in batch)
-_, _, loss2 = step(
+# new_params is DONATED into this step — use the returned params below
+new_params, _, loss2 = step(
     new_params, opt_state2, model_sh.graph, model_sh.ell, *sharded_batch2
 )
 assert np.isfinite(float(loss2))
+
+# ---- sharded eval top-k over the global mesh (VERDICT r3 item 7: the
+# multiprocess test previously stopped at the train step)
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from gsrs_tpu.ops.bitset import build_bitset  # noqa: E402
+from gsrs_tpu.parallel.dist_train import make_eval_scores_fn  # noqa: E402
+
+# graph/ell span non-addressable devices → must be jit ARGUMENTS, not
+# closure constants, in a multiprocess runtime
+all_users, items, _ = jax.jit(
+    lambda p, g, e: model_sh.final_embeddings(p, graph=g, ell=e)
+)(new_params, model_sh.graph, model_sh.ell)
+eval_fn = make_eval_scores_fn(model_sh, mesh)
+tb = jnp.asarray(
+    build_bitset(data.train_users, data.train_items, data.n_users, data.m_items)
+)
+eval_users = jnp.arange(64, dtype=jnp.int32) % data.n_users
+row = NamedSharding(mesh, P("model", None))
+_, top_items = eval_fn(
+    jax.device_put(all_users, row),
+    jax.device_put(items, row),
+    jax.device_put(eval_users, batch_s),
+    jax.device_put(tb[eval_users], batch_s),
+    8,
+)
+assert top_items.shape == (64, 8)
+print(f"EVAL OK process={jax.process_index()}", flush=True)
+
+# ---- Orbax checkpoint save -> restore with cross-process sharded params
+# (the multi-host checkpoint path had only ever run single-process)
+import jax.experimental.multihost_utils  # noqa: E402,F401
+
+from gsrs_tpu.train.checkpoint import CheckpointManager  # noqa: E402
+
+ckpt_dir = os.environ["GSRS_MP_CKPT_DIR"]  # shared tmp dir from the test
+cm = CheckpointManager(ckpt_dir)
+saved = {"params": new_params, "epoch": 1}
+cm.save_last(saved)
+# save twice: the second save exercises the .old swap path under the
+# multiprocess barriers
+cm.save_last(saved)
+template = {
+    "params": jax.tree_util.tree_map(jnp.zeros_like, new_params),
+    "epoch": 0,
+}
+restored = cm.restore(os.path.join(ckpt_dir, "last"), template)
+assert int(restored["epoch"]) == 1
+for k in new_params:
+    want = np.asarray(
+        jax.experimental.multihost_utils.process_allgather(
+            new_params[k], tiled=True
+        )
+    )
+    got = np.asarray(
+        jax.experimental.multihost_utils.process_allgather(
+            restored["params"][k], tiled=True
+        )
+    )
+    np.testing.assert_array_equal(want, got)
+print(f"CKPT OK process={jax.process_index()}", flush=True)
 
 print(f"MP OK process={jax.process_index()} loss={loss:.6f}", flush=True)

@@ -25,7 +25,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_distributed_init_and_train_step():
+def test_two_process_distributed_init_and_train_step(tmp_path):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -36,6 +36,7 @@ def test_two_process_distributed_init_and_train_step():
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             GSRS_NUM_PROCESSES="2",
             GSRS_PROCESS_ID=str(pid),
+            GSRS_MP_CKPT_DIR=str(tmp_path / "ckpt"),
         )
         # the conftest's 8-device flag must not leak into the workers
         procs.append(
@@ -59,6 +60,9 @@ def test_two_process_distributed_init_and_train_step():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert "MP OK" in out, f"process {pid} no MP OK:\n{out}"
+        # train step + sharded eval top-k + cross-process Orbax roundtrip
+        assert "EVAL OK" in out, f"process {pid} no EVAL OK:\n{out}"
+        assert "CKPT OK" in out, f"process {pid} no CKPT OK:\n{out}"
     # both processes computed the same replicated loss
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]

@@ -84,8 +84,11 @@ def main():
     from gsrs_tpu.ops.ell import ell_from_interactions
 
     variants = [
-        ("exact", dict(topk_method="exact")),
-        ("approx", dict(topk_method="approx",
+        # what a default user now gets: auto-select (bitplane on TPU at
+        # >= 64k items, XLA below — VERDICT r3 item 4)
+        ("auto", dict(topk_method="exact")),
+        ("exact", dict(topk_method="exact", use_pallas_scoring="off")),
+        ("approx", dict(topk_method="approx", use_pallas_scoring="off",
                         topk_recall_target=args.recall_target)),
         # bit-plane kernel (default pallas variant): bit unpack via
         # lane-axis concat — the Mosaic-compilable form (round 3)
