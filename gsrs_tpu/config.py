@@ -188,16 +188,14 @@ class TrainConfig:
     comment: str = "lgn"
     # Number of train steps fused into one jitted scan segment. Larger
     # values amortize dispatch; 0 = auto (whole epoch, capped at 128
-    # steps per segment). Round-3 finding: one epoch-long scan is ONE
-    # device dispatch, and single executions running longer than
-    # roughly half a minute fault the TPU worker non-deterministically —
-    # the r2 "yelp-scale crash" (results/bench_scale_standin.log r3:
-    # yelp b8192/28 s dispatches always pass, yelp b2048/~60 s flaky,
-    # amazon ≥45 s always faults even mid-epoch-chunked at 512 steps;
-    # the minimal jitted step at the same shapes is fine, so it is the
-    # execution duration, not the program). The 128-step cap bounds the
-    # worst measured per-step cost (~200 ms, amazon-scale ELL b2048) to
-    # ~25 s per dispatch while leaving every headline Gowalla config
+    # steps per segment). One epoch-long scan is ONE device dispatch,
+    # and long single executions fault the TPU worker — confirmed by
+    # the round-4 controlled experiment (results/probe_flake_r4.log: a
+    # ~240 s single-dispatch yelp-scale epoch faults 5/5, the identical
+    # program auto-chunked at 128 steps passes 5/5; BENCH_NOTES
+    # "Part 2"). The 128-step cap bounds the worst measured per-step
+    # cost (~340 ms, amazon-scale ELL b2048) to well under a minute
+    # per dispatch while leaving every headline Gowalla config
     # (b8192 = 99 steps, b16384 = 50) in a single segment.
     # NOTE (behavior change, round 3): 0 previously meant "whole epoch
     # in one scan"; it now caps at 128 steps/segment, which changes the

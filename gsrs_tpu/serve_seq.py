@@ -49,11 +49,16 @@ class SeqRetriever:
         model = self.model
         m = self.m_items
 
-        def _score(params, seqs, seen_rows):
+        def _score(params, seqs, seen_rows, k):
             scores = model.score_catalog(params, seqs)  # (B, m) 0-based
-            return mask_train_positives(scores, seen_rows, m)
+            masked = mask_train_positives(scores, seen_rows, m)
+            # top-k fused into the same program: one device dispatch per
+            # request chunk instead of two (score, then host-side top-k
+            # launch) — each extra dispatch costs a full round-trip
+            # through a remote-device tunnel
+            return topk_scores(masked, k)
 
-        self._score = jax.jit(_score)
+        self._score = jax.jit(_score, static_argnames=("k",))
 
     @property
     def m_items(self) -> int:
@@ -112,8 +117,9 @@ class SeqRetriever:
             if pad:
                 cs = np.pad(cs, ((0, pad), (0, 0)))
                 cb = np.pad(cb, ((0, pad), (0, 0)))
-            scores = self._score(self.params, jnp.asarray(cs), jnp.asarray(cb))
-            top_s, top_i = topk_scores(scores, k)
+            top_s, top_i = self._score(
+                self.params, jnp.asarray(cs), jnp.asarray(cb), k=k
+            )
             out_items[s : s + B] = np.asarray(top_i)[: B - pad]
             out_scores[s : s + B] = np.asarray(top_s)[: B - pad]
         return out_items, out_scores

@@ -40,16 +40,36 @@ class CheckpointManager:
         # code/main.py:56-67): write to .tmp, swap via two renames. A
         # crash mid-save leaves the old checkpoint (plus a stale .tmp/.old
         # that the next save clears) — never a window with neither.
+        #
+        # Multi-process: Orbax's save of cross-process sharded arrays is
+        # COLLECTIVE (every process writes its addressable shards), but
+        # the directory swap must happen exactly once — the primary does
+        # the renames, with barriers so no process races ahead into a
+        # half-swapped directory (exercised by tests/test_multiprocess.py).
+        import jax
+
+        multi = jax.process_count() > 1
+        primary = jax.process_index() == 0
+        if multi:
+            from jax.experimental.multihost_utils import sync_global_devices
         tmp, old = path + ".tmp", path + ".old"
-        for stale in (tmp, old):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        if primary:
+            for stale in (tmp, old):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+        if multi:
+            sync_global_devices("gsrs_ckpt_pre_save")
         self._ckptr.save(tmp, state)
         self._ckptr.wait_until_finished()
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        if multi:
+            sync_global_devices("gsrs_ckpt_post_save")
+        if primary:
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        if multi:
+            sync_global_devices("gsrs_ckpt_post_swap")
 
     def save_last(self, state: Dict[str, Any]) -> None:
         self._save(os.path.join(self.dir, "last"), state)

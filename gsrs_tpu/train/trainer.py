@@ -194,8 +194,8 @@ class Trainer:
         # steps_per_scan chunks the epoch: each chunk samples its own
         # triplets and runs one scan segment, bounding the (chunk, B)
         # batch buffers on device AND the single-dispatch duration —
-        # multi-minute single executions fault the TPU worker
-        # non-deterministically (see TrainConfig.steps_per_scan).
+        # multi-minute single executions fault the TPU worker 5/5
+        # (results/probe_flake_r4.log; see TrainConfig.steps_per_scan).
         # 0 = auto: whole epoch, capped at 128 steps per segment.
         # -1 = force the whole epoch into ONE uncapped scan segment (the
         # pre-round-3 behavior) — for fault-reproduction experiments only.

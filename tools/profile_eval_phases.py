@@ -88,14 +88,16 @@ def main():
     model = build_model(mcfg, graph, ell=ell_from_interactions(data))
     params = model.init_params(jax.random.key(0))
 
-    # ---- HBM copy calibration: y = x + 1 on a 2 GiB fp32 array reads +
-    # writes 2N bytes; delivered GB/s bounds every later phase estimate
+    # ---- HBM calibration: an elementwise pass over a 1 GiB fp32 array
+    # reads + writes 2N bytes. Random input + a reversal read defeat the
+    # constant-folding/elision that made a first zeros-based `a+1`
+    # version report an impossible 18 TB/s.
     N = 256 * 2**20  # 1 GiB fp32
-    x = jnp.zeros((N,), jnp.float32)
-    cp = jax.jit(lambda a: a + 1.0)
+    x = jax.random.normal(jax.random.key(9), (N,), jnp.float32)
+    cp = jax.jit(lambda a: a * 1.0009 + a[::-1])
     t_copy = timed(cp, x, reps=args.reps)
-    hbm_gbps = 2 * N * 4 / t_copy / 1e9
-    print(json.dumps({"calib": "hbm_copy", "gbps": round(hbm_gbps, 1)}))
+    hbm_gbps = 3 * N * 4 / t_copy / 1e9  # 2 reads + 1 write
+    print(json.dumps({"calib": "hbm_elementwise", "gbps": round(hbm_gbps, 1)}))
 
     # evaluator machinery: reuse its padded user batches/bitsets
     ecfg = EvalConfig(
@@ -132,7 +134,9 @@ def main():
         s = jnp.dot(
             au[u], it.T.astype(au.dtype), preferred_element_type=jnp.float32
         )
-        return jnp.sum(s)
+        # abs blocks the sum∘matmul → dot-of-sums algebraic rewrite that
+        # let XLA skip the matmul entirely in a first version
+        return jnp.sum(jnp.abs(s))
 
     def p_mask(au, it, trb, teb, u, w, g):
         s = jnp.dot(
@@ -168,6 +172,20 @@ def main():
     ):
         times[name] = timed(scan_over(fn), *argsv, reps=args.reps)
 
+    # the Evaluator's own scan (exact/XLA path), device-resident args, no
+    # propagation — isolates any gap between the Evaluator and the
+    # hand-built prefix pipeline of the same math
+    times["evaluator_scan_exact"] = timed(
+        ev._scan_fn, all_users, items, ev.train_bitset, ev.test_bitset,
+        ev._users_dev, ev._weights_dev, ev._gt_dev, reps=args.reps,
+    )
+    # full ev.run for both variants (includes propagation + host sync)
+    ev.run(params)
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        ev.run(params)
+    times["evaluator_run_exact"] = (time.perf_counter() - t0) / args.reps
+
     # bitplane comparison: full eval via the Evaluator (auto picks the
     # kernel at amazon scale on TPU)
     ev_auto = Evaluator(data, model, EvalConfig(
@@ -178,6 +196,13 @@ def main():
     for _ in range(args.reps):
         ev_auto.run(params)
     times["evaluator_auto(incl_prop)"] = (time.perf_counter() - t0) / args.reps
+    if getattr(ev_auto, "_pallas_on", False):
+        items_p = ev_auto._bp_permute_items(items)
+        times["evaluator_scan_bitplane"] = timed(
+            ev_auto._scan_fn, all_users, items_p, ev_auto.train_bitset,
+            ev_auto.test_bitset, ev_auto._users_dev, ev_auto._weights_dev,
+            ev_auto._gt_dev, reps=args.reps,
+        )
     times["propagation"] = t_prop
 
     # ---- roofline arithmetic (fp32 score matrix, bf16 operands)
