@@ -34,15 +34,26 @@ sys.path.insert(0, REPO)
 
 
 def timed(fn, *args, reps=3):
+    """Warm, then report max(single-call, per-rep-avg) wall time.
+
+    The remote-device tunnel has been caught short-circuiting repeated
+    identical dispatches (see the calibration note below); a lone
+    blocked call cannot be short-circuited, so if avg-of-reps comes out
+    LOWER than the single call, the single call is the honest number."""
     import jax
 
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t_single = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    t_avg = (time.perf_counter() - t0) / reps
+    return max(t_single, t_avg)
 
 
 def main():
@@ -88,16 +99,25 @@ def main():
     model = build_model(mcfg, graph, ell=ell_from_interactions(data))
     params = model.init_params(jax.random.key(0))
 
-    # ---- HBM calibration: an elementwise pass over a 1 GiB fp32 array
-    # reads + writes 2N bytes. Random input + a reversal read defeat the
-    # constant-folding/elision that made a first zeros-based `a+1`
-    # version report an impossible 18 TB/s.
+    # ---- HBM calibration. Repeated independent dispatches on identical
+    # inputs are not executed honestly by the remote-device tunnel (two
+    # earlier versions reported 18-27 TB/s on an 819 GB/s part), so the
+    # elementwise pass is chained data-dependently inside ONE dispatch
+    # via fori_loop: per-iteration time is real device execution.
     N = 256 * 2**20  # 1 GiB fp32
+    K_CAL = 16
     x = jax.random.normal(jax.random.key(9), (N,), jnp.float32)
-    cp = jax.jit(lambda a: a * 1.0009 + a[::-1])
-    t_copy = timed(cp, x, reps=args.reps)
-    hbm_gbps = 3 * N * 4 / t_copy / 1e9  # 2 reads + 1 write
-    print(json.dumps({"calib": "hbm_elementwise", "gbps": round(hbm_gbps, 1)}))
+
+    def cal(a):
+        def body(_, c):
+            return c * 1.0000001 + c[::-1] * 1e-9
+
+        return jax.lax.fori_loop(0, K_CAL, body, a)
+
+    t_copy = timed(jax.jit(cal), x, reps=args.reps) / K_CAL
+    hbm_gbps = 3 * N * 4 / t_copy / 1e9  # 2 reads + 1 write per iter
+    print(json.dumps({"calib": "hbm_elementwise_chained",
+                      "gbps": round(hbm_gbps, 1)}))
 
     # evaluator machinery: reuse its padded user batches/bitsets
     ecfg = EvalConfig(
