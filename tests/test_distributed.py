@@ -547,3 +547,20 @@ def test_shard_ell_graph_roundtrip(setup):
         np.testing.assert_allclose(
             np.asarray(total), np.asarray(ref), atol=1e-5
         )
+
+
+def test_distributed_init_rejects_partial_explicit_config(monkeypatch):
+    """A coordinator address with only half the explicit process coords is
+    a launcher bug; it must raise, not silently degrade into N
+    independent single-process runtimes (ADVICE r3)."""
+    import pytest
+
+    from gsrs_tpu.parallel.mesh import distributed_init
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("GSRS_NUM_PROCESSES", "2")
+    monkeypatch.delenv("GSRS_PROCESS_ID", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    with pytest.raises(RuntimeError, match="only one of"):
+        distributed_init()
