@@ -10,22 +10,23 @@ midpoint 33.5 s. ``vs_baseline`` is the speedup factor
 
 The measured config is the fastest one that holds QUALITY PARITY with
 the reference's published Gowalla numbers (recall@20 0.1825): 3 layers,
-dim 64, batch 65536, hybrid SpMM (dense MXU hub blocks + residual ELL,
-8192 hub columns/direction), bf16, full 810,128-interaction epochs,
-uniform negative sampling — sampling is *included* in our epoch time
-(it runs on-device). Parity evidence: results/b65536-parity.log +
-results/b65536-parity-valid.csv (final-epoch recall@20 0.18340 @
-e1300, ndcg 0.15606, precision 0.05610 — the project's best quality at
-ANY batch, above the reference's published 0.1824/0.1547/0.05589 and
-its own recorded best 0.18250/0.15456/0.05596; lr 5.7e-3 =
-sqrt-scaled from the reference's 1e-3 at 32x batch, MultiStepLR
-[650,800,950] gamma 0.5 — the reference's own scheduler mechanism,
+dim 64, batch 131072, hybrid SpMM (dense MXU hub blocks + residual
+ELL, 8192 hub columns/direction), bf16, full 810,128-interaction
+epochs, uniform negative sampling — sampling is *included* in our
+epoch time (it runs on-device). Parity evidence:
+results/b131072-parity.log + results/b131072-parity-valid.csv (best
+recall@20 0.183363 @ e1500, ndcg 0.155931, precision 0.055963 — above
+the reference's published 0.1824/0.1547/0.05589 AND its own best
+recorded run 0.18250/0.15456/0.05596 on all three metrics; lr 8e-3 =
+sqrt-scaled from the reference's 1e-3 at 64x batch, MultiStepLR
+[750,900,1050] gamma 0.5 — the reference's own scheduler mechanism,
 reference code/parse.py:76-82); re-derive with
-`python quality_bench.py`. Hybrid SpMM is math-equivalent to ELL
-(tests/test_hybrid.py, losses agree to 5 decimals), and ELL matches
-segment-sum to 1e-10 in gradients. The b8192 (2.85 s, 0.18280),
-b16384 (1.6 s, 0.18275) and b32768 (0.93 s, 0.18338) parity points
-remain tracked in results/.
+`python quality_bench.py`. The b65536 point (0.63 s, recall 0.183429 /
+ndcg 0.156062 / precision 0.056096) is the project's best QUALITY at
+any batch. Hybrid SpMM is math-equivalent to ELL (tests/test_hybrid.py,
+losses agree to 5 decimals), and ELL matches segment-sum to 1e-10 in
+gradients. The b8192 (2.85 s, 0.18280), b16384 (1.6 s, 0.18275) and
+b32768 (0.93 s, 0.18338) parity points remain tracked in results/.
 """
 
 import json
@@ -104,7 +105,7 @@ def main() -> None:
             spmm_mode="hybrid",
             hybrid_cols=8192,
         ),
-        train=TrainConfig(batch_size=65536, tensorboard=False),
+        train=TrainConfig(batch_size=131072, tensorboard=False),
     )
     model = build_model(
         cfg.model,
