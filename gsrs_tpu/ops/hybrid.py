@@ -42,6 +42,7 @@ drop the same edges (round-2's hybrid×dropout exclusion removed).
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Tuple
 
 import jax
@@ -49,6 +50,54 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsrs_tpu.ops.ell import EllGraph, _apply_side, _build_side
+
+# HBM budget for the two dense hub blocks combined (user_from_item is
+# (n_users, C), item_from_user is (m_items, C)). 4 GiB leaves room on a
+# 16 GB chip for the embedding tables, Adam state, activations and the
+# residual ELL. The blocks are O((n+m)·C): fine at gowalla bf16 (~1.1 GB
+# at C=8192) but ~0.9 TB at a 50M-user/10M-item pod shape — which is why
+# tools/stress_pod.py plans pod scale on pure ELL, and why
+# `resolve_hybrid_cols` clamps C (down to 0 = plain ELL behavior) with a
+# warning instead of letting `--spmm hybrid` OOM (VERDICT r4 item 6).
+# Note `parallel/sharding.py::hybrid_spec` shards the blocks by COLUMNS,
+# so per-device memory still scales with n+m — sharding does not lift
+# this ceiling.
+DENSE_HBM_BUDGET_GB = 4.0
+
+
+def resolve_hybrid_cols(
+    n_users: int,
+    m_items: int,
+    cols: int,
+    dtype,
+    hbm_budget_gb: float = DENSE_HBM_BUDGET_GB,
+) -> int:
+    """Clamp the hub-column count so the two dense blocks fit the HBM
+    budget. Returns ``cols`` unchanged when it fits; otherwise the
+    largest 128-multiple that does (possibly 0 — the dense blocks become
+    empty and the hybrid degenerates to plain ELL), with a warning that
+    names the estimate and the pod-scale alternative."""
+    itemsize = np.dtype(dtype).itemsize
+    rows = n_users + m_items
+    budget = int(hbm_budget_gb * 1024**3)
+    need = rows * cols * itemsize
+    if need <= budget:
+        return cols
+    fit = (budget // (rows * itemsize) // 128) * 128
+    fit = int(max(fit, 0))
+    warnings.warn(
+        f"hybrid dense blocks at C={cols} would need "
+        f"{need / 1024**3:.1f} GiB for {n_users}+{m_items} node rows "
+        f"(budget {hbm_budget_gb:.1f} GiB); clamping to C={fit}"
+        + (
+            " — dense blocks disabled, effectively plain ELL. Use "
+            "--spmm ell (and a sharded mesh) at this scale."
+            if fit == 0
+            else ". Raise hbm_budget_gb only if the chip has headroom."
+        ),
+        stacklevel=3,
+    )
+    return fit
 
 
 @jax.tree_util.register_dataclass
@@ -113,7 +162,8 @@ def _build_direction(
 
 
 def hybrid_from_interactions(
-    data, cols: int = 8192, dtype=np.float32, min_width: int = 4
+    data, cols: int = 8192, dtype=np.float32, min_width: int = 4,
+    hbm_budget_gb: float = DENSE_HBM_BUDGET_GB,
 ) -> HybridGraph:
     """Build from an InteractionData with the reference's exact
     normalization (same weights as ops.ell.ell_from_interactions)."""
@@ -126,6 +176,9 @@ def hybrid_from_interactions(
     items = data.train_items.astype(np.int32)
     item_deg = np.bincount(items, minlength=data.m_items)
     user_deg = np.bincount(users, minlength=data.n_users)
+    cols = resolve_hybrid_cols(
+        data.n_users, data.m_items, cols, dtype, hbm_budget_gb
+    )
     return HybridGraph(
         user_from_item=_build_direction(
             users, items, w, data.n_users, data.m_items, item_deg,
@@ -141,7 +194,8 @@ def hybrid_from_interactions(
 
 
 def hybrid_from_graph(
-    graph, cols: int = 8192, dtype=np.float32, min_width: int = 4
+    graph, cols: int = 8192, dtype=np.float32, min_width: int = 4,
+    hbm_budget_gb: float = DENSE_HBM_BUDGET_GB,
 ) -> HybridGraph:
     """Build from a BipartiteGraph's padded edge arrays (inverting the
     by-user sort back to canonical order, dropping padding) — the
@@ -161,6 +215,9 @@ def hybrid_from_graph(
     users, items, w = users[:n], items[:n], w[:n]
     item_deg = np.bincount(items, minlength=graph.m_items)
     user_deg = np.bincount(users, minlength=graph.n_users)
+    cols = resolve_hybrid_cols(
+        graph.n_users, graph.m_items, cols, dtype, hbm_budget_gb
+    )
     return HybridGraph(
         user_from_item=_build_direction(
             users, items, w, graph.n_users, graph.m_items, item_deg,

@@ -138,6 +138,28 @@ def masked_scores_pallas(
 # ---------------------------------------------------------------------------
 
 
+def resolve_bitplane_scoring(
+    mode, m_items: int, variant: str = "bitplane", min_items: int = 65536
+) -> bool:
+    """Shared auto-select rule for the fused bitplane scoring kernel
+    (VERDICT r3 item 4). ``mode``: bool | "auto" | "on" | "off". Both the
+    Evaluator (train.evaluator.resolve_pallas_scoring) and the serving
+    Retriever route through this single predicate so the threshold and
+    the off-switch behave identically at eval and serve time (ADVICE r4:
+    serving used to hardcode its own copy with no off switch)."""
+    if mode is True or mode == "on":
+        return True
+    if mode is False or mode == "off":
+        return False
+    # "auto": only the bitplane variant compiles under Mosaic, and only
+    # on a real TPU backend; below the threshold XLA-exact already wins.
+    return (
+        variant == "bitplane"
+        and m_items >= min_items
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _masked_scores_bitplane_kernel(u_ref, it_ref, bits_ref, out_ref):
     scores = jnp.dot(
         u_ref[:], it_ref[:].T, preferred_element_type=jnp.float32

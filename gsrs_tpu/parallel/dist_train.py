@@ -44,7 +44,12 @@ def make_train_step(
     sh = GraphShardings(mesh)
     batch_s = sh.batch_spec()
     rep = sh.replicated()
-    use_dropout = bool(model.cfg.dropout)
+    # models that consume per-step randomness beyond edge dropout
+    # (UltraGCN's in-loss negatives, XSimGCL's noise views) declare
+    # needs_step_key — same rule as Trainer._build_epoch_fn
+    use_dropout = bool(model.cfg.dropout) or getattr(
+        model, "needs_step_key", False
+    )
 
     def step(params, opt_state, graph, ell, key, users, pos, neg):
         def loss_fn(p):

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsrs_tpu.ops.bitset import build_bitset
-from gsrs_tpu.ops.topk import masked_topk
+from gsrs_tpu.ops.pallas_kernels import resolve_bitplane_scoring
+from gsrs_tpu.ops.topk import NEG_INF, masked_topk
 
 
 @dataclasses.dataclass
@@ -49,11 +50,27 @@ class Retriever:
     # these hold the per-row dequantization scales
     user_scale: Optional[jax.Array] = None
     item_scale: Optional[jax.Array] = None
+    # Bitplane fast-path control: 'auto' | 'on' | 'off' | bool, plus the
+    # 'auto' catalog threshold — the SAME resolver as the Evaluator
+    # (ops.pallas_kernels.resolve_bitplane_scoring), so serving has an
+    # off switch and an adjustable threshold instead of a hardcoded copy.
+    use_pallas_scoring: object = "auto"
+    pallas_auto_min_items: int = 65536
 
     def __post_init__(self):
         self._real_n = int(self.user_emb.shape[0])
         self._real_m = int(self.item_emb.shape[0])
         table_dtype = np.asarray(self.user_emb[:0]).dtype
+        # Public dataclass fields stay CANONICAL (natural item order, real
+        # row counts): export_embeddings and external consumers read them
+        # exactly as loaded. Every serving-side transformation — mesh
+        # padding + sharding, bitplane permutation — lands in the private
+        # serve tables consumed only by _fn/recommend. (ADVICE r4 high:
+        # the bitplane path used to overwrite item_emb/seen_bitset, so a
+        # TPU 'serve export' at >=64k items wrote a permuted artifact.)
+        serve_user, serve_item = self.user_emb, self.item_emb
+        serve_seen = self.seen_bitset
+        serve_uscale, serve_iscale = self.user_scale, self.item_scale
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -70,8 +87,8 @@ class Retriever:
                 us[: self._real_n] = np.asarray(self.user_scale)
                 si = np.ones(m_pad, np.float32)
                 si[: self._real_m] = np.asarray(self.item_scale)
-                self.user_scale = jax.device_put(jnp.asarray(us), vec)
-                self.item_scale = jax.device_put(jnp.asarray(si), vec)
+                serve_uscale = jax.device_put(jnp.asarray(us), vec)
+                serve_iscale = jax.device_put(jnp.asarray(si), vec)
             # widen the bitset to the padded catalog and set every phantom
             # column in every row, so zero-embedding pad items can never
             # outrank real ones in top-k
@@ -86,17 +103,20 @@ class Retriever:
                 (np.uint32(1) << (cols & 31).astype(np.uint32))[:, None],
             )
             row = NamedSharding(self.mesh, P("model", None))
-            self.user_emb = jax.device_put(jnp.asarray(ue), row)
-            self.item_emb = jax.device_put(jnp.asarray(ie), row)
-            self.seen_bitset = jax.device_put(jnp.asarray(sb), row)
+            serve_user = jax.device_put(jnp.asarray(ue), row)
+            serve_item = jax.device_put(jnp.asarray(ie), row)
+            serve_seen = jax.device_put(jnp.asarray(sb), row)
         # one jitted program per request: gathers + scoring + masked top-k
         # (gathering outside jit would cost two extra device dispatches per
         # chunk — expensive through a remote-device tunnel or across shards)
         use_bitplane = (
             self.mesh is None
             and self.user_scale is None
-            and self._real_m >= 65536
-            and jax.default_backend() == "tpu"
+            and resolve_bitplane_scoring(
+                self.use_pallas_scoring,
+                self._real_m,
+                min_items=self.pallas_auto_min_items,
+            )
         )
         if use_bitplane:
             # Large-catalog fast path (same auto-select rule as the
@@ -115,12 +135,12 @@ class Retriever:
             m_pad = -(-m // block_m) * block_m
             perm = bitplane_permutation(m_pad, block_m).astype(np.int32)
             self._bp_perm = jnp.asarray(perm)
-            self.item_emb = jnp.pad(
-                self.item_emb, ((0, m_pad - m), (0, 0))
+            serve_item = jnp.pad(
+                jnp.asarray(self.item_emb), ((0, m_pad - m), (0, 0))
             )[self._bp_perm]
             # pad the seen-bitset to m_pad/32 words with every phantom
             # column set, so pad items can never surface in top-k
-            sb = np.asarray(self.seen_bitset)
+            sb = np.array(np.asarray(self.seen_bitset))
             W, W_pad = sb.shape[1], m_pad // 32
             sb = np.pad(
                 sb, ((0, 0), (0, W_pad - W)),
@@ -128,7 +148,7 @@ class Retriever:
             )
             if m % 32:
                 sb[:, W - 1] |= np.uint32(0xFFFFFFFF) << np.uint32(m % 32)
-            self.seen_bitset = jnp.asarray(sb)
+            serve_seen = jnp.asarray(sb)
 
             def _serve_bp(user_emb, item_emb_p, seen, perm, ids, k):
                 scores = masked_scores_bitplane_pallas(
@@ -154,7 +174,7 @@ class Retriever:
         else:
             from gsrs_tpu.ops.topk import mask_train_positives, topk_scores
 
-            user_scale, item_scale = self.user_scale, self.item_scale
+            user_scale, item_scale = serve_uscale, serve_iscale
 
             def _serve_q(user_q, item_q, seen, ids, k):
                 # int8×int8→int32 on the MXU, then the rank-1 scale
@@ -174,6 +194,8 @@ class Retriever:
                 return topk_scores(scores, k)
 
             self._fn = jax.jit(_serve_q, static_argnames=("k",))
+        # the (possibly transformed) device tables _fn actually serves from
+        self._serve_tables = (serve_user, serve_item, serve_seen)
 
     @property
     def n_users(self) -> int:
@@ -188,7 +210,11 @@ class Retriever:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (items, scores), each (len(user_ids), k); already-seen items
         are excluded. Requests pad to ``batch_size`` so every call reuses
-        one compiled program."""
+        one compiled program.
+
+        Degenerate rows (a user with fewer than k unseen items) fill the
+        phantom slots with item id ``-1`` and the NEG_INF mask score —
+        never a valid-looking item id (ADVICE r4)."""
         ids = np.asarray(user_ids, dtype=np.int32)
         if ids.size and (ids.min() < 0 or ids.max() >= self.n_users):
             bad = ids[(ids < 0) | (ids >= self.n_users)]
@@ -196,21 +222,21 @@ class Retriever:
                 f"user ids out of range [0, {self.n_users}): {bad[:5].tolist()}"
             )
         B = self.batch_size
+        ue, ie, seen = self._serve_tables
         out_items = np.empty((ids.size, k), np.int32)
         out_scores = np.empty((ids.size, k), np.float32)
         for s in range(0, ids.size, B):
             chunk = ids[s : s + B]
             padded = np.zeros(B, np.int32)
             padded[: chunk.size] = chunk
-            scores, items = self._fn(
-                self.user_emb,
-                self.item_emb,
-                self.seen_bitset,
-                jnp.asarray(padded),
-                k=k,
-            )
-            out_items[s : s + B] = np.asarray(items)[: chunk.size]
-            out_scores[s : s + B] = np.asarray(scores)[: chunk.size]
+            scores, items = self._fn(ue, ie, seen, jnp.asarray(padded), k=k)
+            sc = np.asarray(scores)[: chunk.size]
+            it = np.asarray(items)[: chunk.size].astype(np.int32)
+            # phantom slots carry the NEG_INF mask value (real dot-product
+            # scores are orders of magnitude above it): surface them as -1
+            it = np.where(sc <= float(NEG_INF) / 2, np.int32(-1), it)
+            out_items[s : s + B] = it
+            out_scores[s : s + B] = sc
         return out_items, out_scores
 
 
@@ -276,7 +302,13 @@ def export_embeddings(
     )
 
 
-def load_retriever(path: str, batch_size: int = 256, mesh=None) -> Retriever:
+def load_retriever(
+    path: str,
+    batch_size: int = 256,
+    mesh=None,
+    use_pallas_scoring: object = "auto",
+    pallas_auto_min_items: int = 65536,
+) -> Retriever:
     # mesh path: keep host arrays so the ONLY device transfer is the final
     # sharded device_put in __post_init__ (uploading first would round-trip
     # the full tables device→host→device)
@@ -298,6 +330,8 @@ def load_retriever(path: str, batch_size: int = 256, mesh=None) -> Retriever:
             conv(z["seen_bitset"]),
             batch_size=batch_size,
             mesh=mesh,
+            use_pallas_scoring=use_pallas_scoring,
+            pallas_auto_min_items=pallas_auto_min_items,
         )
 
 
@@ -346,6 +380,11 @@ def main(argv: Optional[list] = None) -> None:
     qry.add_argument(
         "--model_axis", type=int, default=1,
         help="shard the catalog over this many devices (pod-scale serving)",
+    )
+    qry.add_argument(
+        "--use_pallas_scoring", choices=["auto", "on", "off"], default="auto",
+        help="bitplane fused-scoring kernel: 'auto' selects it on TPU at "
+        "large catalogs; 'off' forces the XLA path",
     )
 
     args = ap.parse_args(argv)
@@ -438,7 +477,10 @@ def main(argv: Optional[list] = None) -> None:
             from gsrs_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(data_axis=1, model_axis=args.model_axis)
-        r = load_retriever(args.artifact, mesh=mesh)
+        r = load_retriever(
+            args.artifact, mesh=mesh,
+            use_pallas_scoring=args.use_pallas_scoring,
+        )
         items, scores = r.recommend(args.users, k=args.k)
         for u, its, scs in zip(args.users, items, scores):
             pairs = " ".join(f"{i}:{s:.3f}" for i, s in zip(its, scs))

@@ -70,6 +70,17 @@ class CheckpointManager:
             shutil.rmtree(old, ignore_errors=True)
         if multi:
             sync_global_devices("gsrs_ckpt_post_swap")
+            # Shared filesystem (the normal multi-host layout — GCS/NFS,
+            # what tests/test_multiprocess.py exercises): the primary's
+            # swap is visible everywhere and this is a no-op. HOST-LOCAL
+            # checkpoint_dir: each process only has its own shards under
+            # .tmp, the primary's rename never reaches this host, so swap
+            # locally too — otherwise non-primary shards would sit under
+            # .tmp forever and restore would fail (ADVICE r4).
+            if not primary and not os.path.exists(path) and os.path.exists(tmp):
+                if os.path.exists(old):
+                    shutil.rmtree(old, ignore_errors=True)
+                os.rename(tmp, path)
 
     def save_last(self, state: Dict[str, Any]) -> None:
         self._save(os.path.join(self.dir, "last"), state)

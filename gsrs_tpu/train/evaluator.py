@@ -38,17 +38,13 @@ def resolve_pallas_scoring(cfg: EvalConfig, m_items: int) -> bool:
     kernel is exact and ~1.9x faster than XLA at amazon-book scale —
     results/bench_eval_r3.log — so on large catalogs it is the default,
     not an opt-in flag)."""
-    v = cfg.use_pallas_scoring
-    if v is True or v == "on":
-        return True
-    if v is False or v == "off":
-        return False
-    # "auto": only the bitplane variant compiles under Mosaic, and only
-    # on a real TPU backend; below the threshold XLA-exact already wins.
-    return (
-        cfg.pallas_variant == "bitplane"
-        and m_items >= cfg.pallas_auto_min_items
-        and jax.default_backend() == "tpu"
+    from gsrs_tpu.ops.pallas_kernels import resolve_bitplane_scoring
+
+    return resolve_bitplane_scoring(
+        cfg.use_pallas_scoring,
+        m_items,
+        variant=cfg.pallas_variant,
+        min_items=cfg.pallas_auto_min_items,
     )
 
 

@@ -269,3 +269,34 @@ def test_hybrid_gspmd_step_matches_single_device(setup, mesh_shape):
         np.asarray(ref_params["item_emb"]),
         atol=1e-5,
     )
+
+
+def test_hybrid_hbm_guard_clamps_with_warning(setup):
+    """VERDICT r4 item 6: `--spmm hybrid` at a too-large shape must
+    degrade gracefully (clamped hub count + warning), never OOM. With a
+    tiny budget the clamp lands at C=0 — dense blocks empty — and the
+    propagation must still equal pure ELL (all edges in the residual)."""
+    from gsrs_tpu.ops.hybrid import resolve_hybrid_cols
+
+    data, graph = setup
+    # direct resolver math: 1 GiB budget, fp32, 1M+1M rows → 8192 cols
+    # would need 64 GiB; largest fitting 128-multiple is 128·⌊…⌋
+    with pytest.warns(UserWarning, match="clamping to C="):
+        c = resolve_hybrid_cols(10**6, 10**6, 8192, np.float32, 1.0)
+    assert c % 128 == 0 and 0 < c < 8192
+    assert 2 * 10**6 * c * 4 <= 1.0 * 1024**3
+
+    # end-to-end C=0 degenerate: budget too small for even 128 columns
+    with pytest.warns(UserWarning, match="dense blocks disabled"):
+        hg = hybrid_from_interactions(data, cols=8192, hbm_budget_gb=1e-7)
+    assert hg.user_from_item.dense.shape[1] == 0
+    ell = ell_from_interactions(data)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(data.n_users, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(data.m_items, 8)).astype(np.float32))
+    ref_u, ref_i = ell_propagate_layer(ell, u, x, None)
+    got_u, got_i = hybrid_propagate_layer(hg, u, x)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i), atol=1e-5)
+    # within budget: untouched, no warning
+    assert resolve_hybrid_cols(1000, 1000, 512, np.float32, 1.0) == 512

@@ -171,6 +171,64 @@ def test_int8_quantized_artifact(tmp_path, tiny_data):
     np.testing.assert_allclose(scores_q, scores_f, atol=0.05, rtol=0.05)
 
 
+def test_bitplane_path_keeps_public_fields_canonical(tiny_data, tmp_path):
+    """ADVICE r4 (high): forcing the bitplane fast path must NOT mutate
+    the public dataclass fields — export after a bitplane load has to
+    write the canonical (natural-order, real-size) artifact. The
+    permuted+padded tables live only in the private serve tables.
+    (Construction is lazy about the kernel itself, so forcing 'on' works
+    on CPU; only recommend() would need a real TPU.)"""
+    model, params = _model_and_params(tiny_data)
+    base = retriever_from_model(model, params, tiny_data)
+    ue = np.asarray(base.user_emb, np.float32)
+    ie = np.asarray(base.item_emb, np.float32)
+    seen = np.array(np.asarray(base.seen_bitset))
+
+    r = Retriever(
+        user_emb=ue.copy(), item_emb=ie.copy(),
+        seen_bitset=seen.copy(), use_pallas_scoring="on",
+    )
+    assert getattr(r, "_bp_perm", None) is not None
+    np.testing.assert_array_equal(np.asarray(r.user_emb), ue)
+    np.testing.assert_array_equal(np.asarray(r.item_emb), ie)
+    np.testing.assert_array_equal(np.asarray(r.seen_bitset), seen)
+    # serve tables ARE transformed: item table padded to the block size
+    assert r._serve_tables[1].shape[0] % 4096 == 0
+    # export → load roundtrip returns the canonical tables
+    path = str(tmp_path / "bp.npz")
+    export_embeddings(r, path)
+    r2 = load_retriever(path, use_pallas_scoring="off")
+    np.testing.assert_array_equal(np.asarray(r2.item_emb), ie)
+    np.testing.assert_array_equal(np.asarray(r2.seen_bitset), seen)
+    # 'off' is a real off switch even above any threshold
+    r3 = Retriever(
+        user_emb=ue.copy(), item_emb=ie.copy(), seen_bitset=seen.copy(),
+        use_pallas_scoring="off", pallas_auto_min_items=1,
+    )
+    assert getattr(r3, "_bp_perm", None) is None
+
+
+def test_recommend_phantom_slots_are_minus_one():
+    """A user with fewer than k unseen items gets -1 (not a clamped,
+    valid-looking item id) in the phantom slots (ADVICE r4)."""
+    rng = np.random.default_rng(0)
+    n, m, d = 4, 8, 4
+    ue = rng.standard_normal((n, d)).astype(np.float32)
+    ie = rng.standard_normal((m, d)).astype(np.float32)
+    # user 0 has seen items 0..5 -> only items 6,7 are recommendable
+    seen = build_bitset(
+        np.zeros(6, np.int64), np.arange(6), n, m
+    )
+    r = Retriever(user_emb=ue, item_emb=ie, seen_bitset=jnp.asarray(seen),
+                  batch_size=4)
+    items, scores = r.recommend([0, 1], k=5)
+    assert set(items[0][:2]) == {6, 7}
+    np.testing.assert_array_equal(items[0][2:], [-1, -1, -1])
+    assert (scores[0][2:] < -1e8).all()
+    # user 1 saw nothing: all k slots are real items
+    assert (items[1] >= 0).all()
+
+
 def test_int8_quantized_sharded_matches(tmp_path, tiny_data):
     import jax
     import pytest

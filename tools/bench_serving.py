@@ -135,9 +135,8 @@ def main():
             import jax.numpy as jnp
 
             ids_dev = jnp.asarray(np.asarray(reqs[0], np.int32))
-            dev_call = lambda: r._fn(
-                r.user_emb, r.item_emb, r.seen_bitset, ids_dev, k=20
-            )
+            ue_t, ie_t, seen_t = r._serve_tables
+            dev_call = lambda: r._fn(ue_t, ie_t, seen_t, ids_dev, k=20)
             dev_ms = ondevice_ms(dev_call, dev_call(), iters=args.reps)
             results.append({
                 "family": "graph",

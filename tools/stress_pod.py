@@ -92,6 +92,12 @@ def memory_plan(
         "devices": n_dev,
         "mesh": f"data={data_axis} x model={model_axis}",
         "chip": chip,
+        # Pod scale is ELL-only by design: hybrid's dense hub blocks are
+        # O((n+m)·C) with rows REPLICATED per device (hybrid_spec shards
+        # only columns), so at these shapes they dwarf any HBM budget —
+        # ops.hybrid.resolve_hybrid_cols would clamp them to 0 anyway.
+        "spmm": "ell",
+        "hybrid_dense_at_C8192_GiB": round(nodes * 8192 * 2 / 2**30, 1),
         "per_device_GiB": {
             "tables+adam": round(tables / 2**30, 3),
             "propagation_activations": round(activations / 2**30, 3),
