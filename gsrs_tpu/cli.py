@@ -132,15 +132,24 @@ def build_parser() -> argparse.ArgumentParser:
         "--spmm",
         type=str,
         default="ell",
-        choices=["ell", "hybrid", "segment"],
+        choices=["ell", "hybrid", "tiled", "segment"],
         help="propagation SpMM implementation (ell = scatter-free TPU "
-        "path; hybrid = dense MXU hub blocks + residual ELL)",
+        "path; hybrid = dense MXU hub blocks + residual ELL; tiled = "
+        "per-row-group hub blocks over a spectral cluster order)",
     )
     p.add_argument(
         "--hybrid_cols",
         type=int,
         default=8192,
         help="hub columns per direction for --spmm hybrid",
+    )
+    p.add_argument(
+        "--tiled_groups", type=int, default=32,
+        help="row groups per direction for --spmm tiled",
+    )
+    p.add_argument(
+        "--tiled_cols", type=int, default=4096,
+        help="hub columns per row group for --spmm tiled",
     )
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument(
@@ -226,6 +235,8 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             bf16_compute=args.bf16,
             spmm_mode=args.spmm,
             hybrid_cols=args.hybrid_cols,
+            tiled_groups=args.tiled_groups,
+            tiled_cols=args.tiled_cols,
         ),
         train=TrainConfig(
             batch_size=args.bpr_batch,
@@ -339,6 +350,17 @@ def main(argv: Optional[list] = None) -> None:
             ell = hybrid_from_interactions(
                 data,
                 cols=cfg.model.hybrid_cols,
+                dtype=_jnp.bfloat16 if cfg.model.bf16_compute else _jnp.float32,
+            )
+        elif cfg.model.spmm_mode == "tiled":
+            import jax.numpy as _jnp
+
+            from gsrs_tpu.ops.tiled import tiled_from_interactions
+
+            ell = tiled_from_interactions(
+                data,
+                groups=cfg.model.tiled_groups,
+                cols=cfg.model.tiled_cols,
                 dtype=_jnp.bfloat16 if cfg.model.bf16_compute else _jnp.float32,
             )
     model = build_model(

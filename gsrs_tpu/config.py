@@ -148,10 +148,18 @@ class ModelConfig:
     # gsrs_tpu.ops.hybrid, the fastest single-chip path on power-law
     # graphs) or 'segment' (segment-sum reference path — gsrs_tpu.ops.
     # spmm). Validated by LightGCN.__init__.
+    # or 'tiled' (per-row-group hub blocks over a spectral cluster order
+    # + residual ELL — gsrs_tpu.ops.tiled, the generalization of hybrid
+    # that covers 77-86% of Gowalla edges at half the dense memory).
     spmm_mode: str = "ell"
     # Hub columns per direction for spmm_mode='hybrid' (rounded to a
     # multiple of 128; clipped to the catalog size).
     hybrid_cols: int = 8192
+    # spmm_mode='tiled': row groups per direction and hub columns per
+    # group (dense memory is (n+m)·tiled_cols·dtype, like hybrid's but
+    # with per-group column sets).
+    tiled_groups: int = 32
+    tiled_cols: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

@@ -92,11 +92,11 @@ class LightGCN:
         i2i: Optional[ItemItemGraph] = None,
         ell: Optional[EllGraph] = None,
     ):
-        if cfg.spmm_mode not in ("ell", "hybrid", "segment"):
+        if cfg.spmm_mode not in ("ell", "hybrid", "tiled", "segment"):
             raise ValueError(
-                f"spmm_mode must be 'ell', 'hybrid' or 'segment', got "
-                f"'{cfg.spmm_mode}' (an unknown mode would silently run "
-                f"the slow segment path)"
+                f"spmm_mode must be 'ell', 'hybrid', 'tiled' or 'segment', "
+                f"got '{cfg.spmm_mode}' (an unknown mode would silently "
+                f"run the slow segment path)"
             )
         self.cfg = cfg
         self.graph = graph
@@ -115,6 +115,15 @@ class LightGCN:
             ell = hybrid_from_graph(
                 graph,
                 cols=cfg.hybrid_cols,
+                dtype=jnp.bfloat16 if cfg.bf16_compute else jnp.float32,
+            )
+        if ell is None and cfg.spmm_mode == "tiled" and cfg.num_layers > 0:
+            from gsrs_tpu.ops.tiled import tiled_from_graph
+
+            ell = tiled_from_graph(
+                graph,
+                groups=cfg.tiled_groups,
+                cols=cfg.tiled_cols,
                 dtype=jnp.bfloat16 if cfg.bf16_compute else jnp.float32,
             )
         self.ell = ell
@@ -169,7 +178,7 @@ class LightGCN:
         graph = self.graph if graph is None else graph
         ell = self.ell if ell is None else ell
         use_ell = (
-            self.cfg.spmm_mode in ("ell", "hybrid")
+            self.cfg.spmm_mode in ("ell", "hybrid", "tiled")
             and self.cfg.num_layers > 0
         )
         if use_ell and ell is None:
@@ -178,11 +187,13 @@ class LightGCN:
                 "without a graph layout; pass ell=ell_from_interactions("
                 "data) / hybrid_from_interactions(data) or use 'segment'"
             )
-        use_hybrid = False
+        use_hybrid = use_tiled = False
         if use_ell:
             from gsrs_tpu.ops.hybrid import HybridGraph, hybrid_propagate_layer
+            from gsrs_tpu.ops.tiled import TiledGraph, tiled_propagate_layer
 
             use_hybrid = isinstance(ell, HybridGraph)
+            use_tiled = isinstance(ell, TiledGraph)
         u = params["user_emb"]
         i = params["item_emb"]
         if self.cfg.bf16_compute:
@@ -196,7 +207,7 @@ class LightGCN:
         # so the keep decision is recomputed elementwise per cell.
         keep = edge_masks = hdrop = None
         if dropout_key is not None and self.cfg.dropout:
-            if use_hybrid:
+            if use_hybrid or use_tiled:
                 from gsrs_tpu.ops.hashdrop import hashdrop_from_key
 
                 hdrop = hashdrop_from_key(dropout_key, self.cfg.keep_prob)
@@ -212,6 +223,8 @@ class LightGCN:
         for _ in range(self.cfg.num_layers):
             if use_hybrid:
                 cur_u, cur_i = hybrid_propagate_layer(ell, cur_u, cur_i, hdrop)
+            elif use_tiled:
+                cur_u, cur_i = tiled_propagate_layer(ell, cur_u, cur_i, hdrop)
             elif use_ell:
                 cur_u, cur_i = ell_propagate_layer(ell, cur_u, cur_i, keep)
             else:

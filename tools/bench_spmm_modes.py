@@ -23,6 +23,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[2048, 8192])
     ap.add_argument("--hybrid_cols", type=int, nargs="+", default=[8192, 16384])
+    ap.add_argument(
+        "--tiled", type=str, nargs="*", default=[],
+        help="tiled variants as G:C pairs, e.g. --tiled 32:4096 64:4096",
+    )
     ap.add_argument("--timed_epochs", type=int, default=2)
     args = ap.parse_args()
 
@@ -40,18 +44,29 @@ def main():
     data = load_dataset(ddir, name="gowalla")
     graph = build_graph(data, cache_dir=ddir)
 
-    layouts = [("ell", None, ell_from_interactions(data))]
+    layouts = [("ell", "ell", {}, ell_from_interactions(data))]
     for c in args.hybrid_cols:
         layouts.append(
-            (f"hybrid{c}", c,
+            (f"hybrid{c}", "hybrid", {"hybrid_cols": c},
              hybrid_from_interactions(data, cols=c, dtype=jnp.bfloat16))
         )
+    if args.tiled:
+        from gsrs_tpu.ops.tiled import tiled_from_interactions
 
-    for label, cols, layout in layouts:
-        mode = "ell" if cols is None else "hybrid"
+        for gc in args.tiled:
+            g, c = (int(v) for v in gc.split(":"))
+            layouts.append((
+                f"tiledG{g}C{c}", "tiled",
+                {"tiled_groups": g, "tiled_cols": c},
+                tiled_from_interactions(
+                    data, groups=g, cols=c, dtype=jnp.bfloat16
+                ),
+            ))
+
+    for label, mode, extra, layout in layouts:
         mcfg = ModelConfig(
             num_layers=3, embedding_dim=64, bf16_compute=True,
-            spmm_mode=mode, hybrid_cols=cols or 8192,
+            spmm_mode=mode, **extra,
         )
         for B in args.batch:
             cfg = ExperimentConfig(
