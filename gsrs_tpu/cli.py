@@ -162,8 +162,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--topk_method",
         type=str,
         default="exact",
-        choices=["exact", "approx"],
-        help="eval top-k impl: exact lax.top_k or TPU-native approx_max_k",
+        choices=["exact", "approx", "threshold"],
+        help="eval top-k impl: exact lax.top_k, TPU-native approx_max_k, "
+        "or exact threshold-select (measured 8-20x slower than exact on "
+        "chip — kept as the recorded negative result, BENCH_NOTES r5)",
     )
     p.add_argument("--topk_recall_target", type=float, default=0.98)
     p.add_argument(

@@ -54,9 +54,12 @@ def topk_scores(
     - 'approx': `jax.lax.approx_max_k` — the TPU-native PartialReduce
       two-phase top-k. Orders of magnitude faster on wide catalogs;
       per-row recall of the true top-k ≥ recall_target in expectation.
-    - 'threshold': exact threshold-select (`topk_threshold`) — a few
-      HBM-speed passes instead of a sort; exact always (batch falls back
-      to lax.top_k in the pathological all-ties case).
+    - 'threshold': exact threshold-select (`topk_threshold`) — exact
+      always (batch falls back to lax.top_k in the pathological
+      all-ties case). Chip-measured 8-20x SLOWER than 'exact': the
+      candidate-extraction passes (cumsum + vmapped searchsorted) have
+      no efficient TPU lowering (results/probe_topk_threshold.log).
+      Kept as the recorded negative result, BENCH_NOTES round 5.
     """
     if method == "approx":
         return jax.lax.approx_max_k(
@@ -96,13 +99,19 @@ def topk_threshold(
     cap: int = 256,
     max_iters: int = 6,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k via threshold selection — the bandwidth-bound
-    alternative to sort-based `lax.top_k` for wide catalogs (VERDICT r4
-    item 2; replaces the hot op of reference code/Procedure.py:183).
+    """Exact top-k via threshold selection — the would-be
+    bandwidth-bound alternative to sort-based `lax.top_k` for wide
+    catalogs (VERDICT r4 item 2; same hot op as reference
+    code/Procedure.py:183). CHIP VERDICT: REFUTED — 8-20x slower than
+    lax.top_k (169 ms vs 8.6 ms at (2048, 40960),
+    results/probe_topk_threshold.log): the count/bisection passes are
+    cheap but step 3's extraction (cumsum + vmapped searchsorted) has
+    no efficient TPU lowering. Kept exact and available as the recorded
+    negative result; do not use for speed.
 
     lax.top_k on TPU costs ~15x the HBM floor at amazon-book scale
     (results/profile_eval_phases.log). This runs a few elementwise /
-    reduction passes instead, all at HBM speed:
+    reduction passes instead, intended to be at HBM speed:
 
     1. one fused stats pass (count/mean/var/max of the unmasked scores),
     2. a Gaussian-quantile threshold guess + count pass, refined by

@@ -70,8 +70,21 @@ def make_train_step(
         # spmm_mode='segment') replicate whatever rides in the slot.
         from gsrs_tpu.ops.ell import EllGraph
         from gsrs_tpu.ops.hybrid import HybridGraph
+        from gsrs_tpu.ops.tiled import TiledGraph
 
-        if isinstance(model.ell, HybridGraph):
+        if isinstance(model.ell, TiledGraph):
+            n_dev = mesh.size
+            for d in (model.ell.user_from_item, model.ell.item_from_user):
+                for side in (d.residual.by_user, d.residual.by_item):
+                    for b in side.buckets:
+                        if b.cols.shape[0] % n_dev:
+                            raise ValueError(
+                                "tiled residual ELL bucket rows must be a "
+                                f"multiple of the mesh size ({n_dev}) — "
+                                "place with GraphShardings.place_ell"
+                            )
+            ell_spec = sh.tiled_spec(model.ell)
+        elif isinstance(model.ell, HybridGraph):
             n_dev = mesh.size
             for d in (model.ell.user_from_item, model.ell.item_from_user):
                 for side in (d.residual.by_user, d.residual.by_item):

@@ -115,6 +115,41 @@ class GraphShardings:
             item_from_user=dir_spec(hg.item_from_user),
         )
 
+    def tiled_spec(self, tg: Any) -> Any:
+        """Sharding pytree for a TiledGraph: per-group dense hub blocks
+        shard the COLUMN axis over the whole mesh when C divides evenly
+        (exactly like hybrid_spec — GSPMD partitions the grouped einsum's
+        contraction and psums the partial products); the gather maps
+        (top_src, order_dst, row_nat) and the occ accumulation side
+        replicate (all O(G·C)/O(n) int32 — MBs, and the backward's occ
+        apply is a tiny gather-sum); the residual EllGraph shards like
+        ell_spec (pad first with place_ell)."""
+        from gsrs_tpu.ops.tiled import TiledDirection
+
+        rep = _ns(self.mesh, P())
+
+        def dir_spec(d: TiledDirection) -> TiledDirection:
+            cols = (
+                _ns(self.mesh, P(None, ("data", "model")))
+                if d.cols > 0 and d.cols % self.mesh.size == 0
+                else rep
+            )
+            return dataclasses.replace(
+                d,
+                dense=cols,
+                top_src=rep,
+                order_dst=rep,
+                row_nat=rep,
+                occ=jax.tree_util.tree_map(lambda _: rep, d.occ),
+                residual=self.ell_spec(d.residual),
+            )
+
+        return dataclasses.replace(
+            tg,
+            user_from_item=dir_spec(tg.user_from_item),
+            item_from_user=dir_spec(tg.item_from_user),
+        )
+
     def ell_spec(self, ell: Any) -> Any:
         """Sharding pytree for an EllGraph: every bucket array (rows,
         cols, w, eidx — the O(edges) memory) shards its leading axis over
@@ -154,7 +189,26 @@ class GraphShardings:
         sharded step — its shapes define the compiled program."""
         from gsrs_tpu.ops.ell import pad_ell_graph
         from gsrs_tpu.ops.hybrid import HybridGraph
+        from gsrs_tpu.ops.tiled import TiledGraph
 
+        if isinstance(ell, TiledGraph):
+            ell = dataclasses.replace(
+                ell,
+                user_from_item=dataclasses.replace(
+                    ell.user_from_item,
+                    residual=pad_ell_graph(
+                        ell.user_from_item.residual, self.mesh.size
+                    ),
+                ),
+                item_from_user=dataclasses.replace(
+                    ell.item_from_user,
+                    residual=pad_ell_graph(
+                        ell.item_from_user.residual, self.mesh.size
+                    ),
+                ),
+            )
+            spec = self.tiled_spec(ell)
+            return jax.tree_util.tree_map(jax.device_put, ell, spec)
         if isinstance(ell, HybridGraph):
             ell = dataclasses.replace(
                 ell,

@@ -401,13 +401,13 @@ def _single_device_dropout_step(model, optimizer, params, batch, key, decay=1e-4
     return optax.apply_updates(params, updates), float(loss)
 
 
-@pytest.mark.parametrize("spmm_mode", ["ell", "segment", "hybrid"])
+@pytest.mark.parametrize("spmm_mode", ["ell", "segment", "hybrid", "tiled"])
 def test_gspmd_step_dropout_matches_single_device(setup, spmm_mode):
     """Edge dropout through the standalone GSPMD step: same key → same
     per-edge keep mask → identical update as the single-device step
     (kills the round-1 NotImplementedError; the reference's --dropout/
     --keepprob flags now work in every execution mode — including
-    hybrid, via the stateless hash mask of ops.hashdrop)."""
+    hybrid and tiled, via the stateless hash mask of ops.hashdrop)."""
     data, graph, model, params, optimizer, batch = setup
     cfg = dataclasses.replace(
         model.cfg, dropout=True, keep_prob=0.6, spmm_mode=spmm_mode
@@ -417,6 +417,12 @@ def test_gspmd_step_dropout_matches_single_device(setup, spmm_mode):
 
         layout = hybrid_from_interactions(data, cols=16)
         cfg = dataclasses.replace(cfg, hybrid_cols=16)
+    elif spmm_mode == "tiled":
+        from gsrs_tpu.ops.tiled import tiled_from_interactions
+
+        # C=16 divides the 8-device mesh → dense blocks column-shard
+        layout = tiled_from_interactions(data, groups=4, cols=16)
+        cfg = dataclasses.replace(cfg, tiled_groups=4, tiled_cols=16)
     else:
         layout = model.ell if spmm_mode == "ell" else None
     drop_model = build_model(cfg, graph, ell=layout)
@@ -447,6 +453,53 @@ def test_gspmd_step_dropout_matches_single_device(setup, spmm_mode):
     np.testing.assert_allclose(
         np.asarray(new_params["user_emb"]),
         np.asarray(ref_params["user_emb"]),
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
+def test_gspmd_tiled_step_matches_single_device(setup, mesh_shape):
+    """The tiled (per-group hub blocks) layout through the GSPMD step on
+    every mesh layout: dense blocks column-shard (contraction psum),
+    residual ELL row-shards, update equals single-device."""
+    from gsrs_tpu.ops.tiled import tiled_from_interactions
+
+    data, graph, model, params, optimizer, batch = setup
+    cfg = dataclasses.replace(
+        model.cfg, spmm_mode="tiled", tiled_groups=4, tiled_cols=16
+    )
+    layout = tiled_from_interactions(data, groups=4, cols=16)
+    t_model = build_model(cfg, graph, ell=layout)
+    ref_params, ref_loss = _single_device_step(
+        t_model, optimizer, params, batch
+    )
+
+    mesh = make_mesh(data_axis=mesh_shape[0], model_axis=mesh_shape[1])
+    sh = GraphShardings(mesh)
+    p_sharded = sh.place_params(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    )
+    model_sh = build_model(
+        cfg, sh.place_graph(graph), ell=sh.place_ell(layout)
+    )
+    opt_state = optimizer.init(p_sharded)
+    step = make_train_step(model_sh, optimizer, mesh, decay=1e-4)(
+        p_sharded, opt_state
+    )
+    batch_s = sh.batch_spec()
+    sharded_batch = tuple(jax.device_put(b, batch_s) for b in batch)
+    new_params, _, loss = step(
+        p_sharded, opt_state, model_sh.graph, model_sh.ell, *sharded_batch
+    )
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["user_emb"]),
+        np.asarray(ref_params["user_emb"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["item_emb"]),
+        np.asarray(ref_params["item_emb"]),
         atol=1e-5,
     )
 

@@ -22,7 +22,13 @@ sys.path.insert(0, REPO)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[2048, 8192])
-    ap.add_argument("--hybrid_cols", type=int, nargs="+", default=[8192, 16384])
+    ap.add_argument(
+        "--hybrid_cols", type=int, nargs="*", default=[8192, 16384],
+        help="hybrid variants; pass with no values to skip hybrid",
+    )
+    ap.add_argument(
+        "--no_ell", action="store_true", help="skip the ELL baseline arm"
+    )
     ap.add_argument(
         "--tiled", type=str, nargs="*", default=[],
         help="tiled variants as G:C pairs, e.g. --tiled 32:4096 64:4096",
@@ -44,7 +50,9 @@ def main():
     data = load_dataset(ddir, name="gowalla")
     graph = build_graph(data, cache_dir=ddir)
 
-    layouts = [("ell", "ell", {}, ell_from_interactions(data))]
+    layouts = []
+    if not args.no_ell:
+        layouts.append(("ell", "ell", {}, ell_from_interactions(data)))
     for c in args.hybrid_cols:
         layouts.append(
             (f"hybrid{c}", "hybrid", {"hybrid_cols": c},

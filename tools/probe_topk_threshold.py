@@ -32,16 +32,20 @@ def bench(fn, scores, iters):
     add is one HBM pass — identical across variants, and reported so the
     floor is visible."""
 
-    def body(carry, i):
-        s = scores + i * 1e-7
-        v, ix = fn(s)
-        return carry + v.sum() + ix.sum(), None
+    def run(s0):
+        # s0 must come in as the jit ARGUMENT (not a closure capture):
+        # through the tunnel a captured 300+ MB constant is baked into
+        # the compile payload and the remote_compile endpoint 413s.
+        def body(carry, i):
+            s = s0 + i * 1e-7
+            v, ix = fn(s)
+            return carry + v.sum() + ix.sum(), None
 
-    g = jax.jit(
-        lambda s0: jax.lax.scan(
+        return jax.lax.scan(
             body, jnp.float32(0), jnp.arange(iters, dtype=jnp.float32)
         )[0]
-    )
+
+    g = jax.jit(run)
     r = g(scores)
     r.block_until_ready()  # compile + warm
     t0 = time.perf_counter()

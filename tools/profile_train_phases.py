@@ -4,6 +4,19 @@ item 4 — the eval got this treatment in profile_eval_phases.py and it
 changed the round-3 conclusion; the train step's "at its practical
 ceiling" claim deserves the same numbers).
 
+STATUS (round 5): this prefix-pipeline method is REFUTED through the
+tunnel — its numbers are unusable for two measured reasons: (1) the
+remote-device tunnel memoizes repeated dispatches with a key looser
+than input contents (varied-seed second calls, and even AOT-compiled
+first executions, of a b131072 step came back in 50-600 us — far below
+any floor), and (2) XLA's algebraic simplifier rewrites the reduced
+pipelines (sum(dense @ gathered(x)) -> a dot of reductions), so the
+ablated arms measure programs the real step never runs. Kept as the
+recorded negative result; the usable decomposition is
+tools/roofline_train_epochs.py (real Trainer epochs under ablated
+configs — timing independently confirmed by convergence-run wall
+clocks). See BENCH_NOTES round 5.
+
 Method (same discipline as profile_eval_phases.py): XLA fuses whole
 steps, so isolated phase timings lie. We time PREFIX pipelines of the
 real step — sampling; propagation fwd; propagation fwd+bwd; full loss
@@ -31,24 +44,34 @@ sys.path.insert(0, REPO)
 
 def chain_timed(make_body, n_iters, *args):
     """Build jit(scan(body)) over n_iters data-dependently-chained
-    iterations; return per-iteration seconds from the second call."""
+    iterations; return per-iteration seconds.
+
+    The timed call takes a DIFFERENT seed scalar than the warm-up call
+    (seed feeds the initial carry, which perturbs every iteration): the
+    remote-device tunnel memoizes repeated identical dispatches — with
+    device-resident args, a second identical call returns in ~40 µs
+    without executing (caught in this tool's first run; the same
+    phenomenon profile_eval_phases.py's `timed` guards against)."""
     import jax
     import jax.numpy as jnp
 
-    def run(*a):
+    def run(seed, *a):
         def step(carry, i):
             return make_body(carry, i, *a), None
 
         out, _ = jax.lax.scan(
-            step, jnp.float32(0), jnp.arange(n_iters, dtype=jnp.float32)
+            step, seed, jnp.arange(n_iters, dtype=jnp.float32)
         )
         return out
 
-    f = jax.jit(run)
-    r = f(*args)
-    r.block_until_ready()
+    # AOT: compile WITHOUT executing, then time the FIRST execution —
+    # the only dispatch the tunnel cannot have memoized (a varied-seed
+    # second call still came back in ~50 µs, so the memo key is looser
+    # than input contents). Includes one tunnel round-trip, amortized
+    # over n_iters chained iterations.
+    compiled = jax.jit(run).lower(jnp.float32(0), *args).compile()
     t0 = time.perf_counter()
-    r = f(*args)
+    r = compiled(jnp.float32(0), *args)
     r.block_until_ready()
     return (time.perf_counter() - t0) / n_iters
 
@@ -96,16 +119,22 @@ def main():
         num_layers=3, embedding_dim=64, bf16_compute=True,
         spmm_mode="hybrid", hybrid_cols=cols,
     )
-    hg = hybrid_from_interactions(data, cols=cols, dtype=jnp.bfloat16)
+    # device_put EVERYTHING that rides as a jit argument: numpy-backed
+    # leaves re-upload through the tunnel on every call (the trainer
+    # does the same — train/trainer.py "numpy-backed leaves would
+    # re-upload"), which would swamp the phase timings
+    hg = jax.device_put(
+        hybrid_from_interactions(data, cols=cols, dtype=jnp.bfloat16)
+    )
     model = build_model(mcfg, graph, ell=hg)
-    params = model.init_params(jax.random.key(0))
+    params = jax.device_put(model.init_params(jax.random.key(0)))
     optimizer, _ = make_optimizer(
         TrainConfig(batch_size=args.batch, lr=8e-3), steps_per_epoch=1
     )
     opt_state = optimizer.init(params)
     B = args.batch
     n, m, d = data.n_users, data.m_items, mcfg.embedding_dim
-    state = make_sampler_state(data)
+    state = jax.device_put(make_sampler_state(data))
     users, pos, neg = sample_triplets(jax.random.key(1), state, B)
     jax.block_until_ready((users, pos, neg))
 
@@ -131,69 +160,75 @@ def main():
             for k, v in p.items()
         }
 
-    def prop_fwd(c, i, p):
-        au, ai, _ = model.final_embeddings(perturbed(p, c + i))
+    # hg rides through chain_timed as a jit ARGUMENT everywhere below —
+    # closed-over it would be baked into the lowered HLO as a ~466 MiB
+    # constant and the tunnel's remote_compile endpoint 413s the upload
+    # (same fix as trainer.run_epoch's graph/ell arguments).
+    def prop_fwd(c, i, p, g_):
+        au, ai, _ = model.final_embeddings(perturbed(p, c + i), ell=g_)
         return c + au.sum().astype(jnp.float32) + ai.sum().astype(jnp.float32)
 
-    times["prop_fwd"] = chain_timed(prop_fwd, it, params)
+    times["prop_fwd"] = chain_timed(prop_fwd, it, params, hg)
 
-    def prop_fwdbwd(c, i, p):
+    def prop_fwdbwd(c, i, p, g_):
         def f(pp):
-            au, ai, _ = model.final_embeddings(pp)
+            au, ai, _ = model.final_embeddings(pp, ell=g_)
             return au.sum().astype(jnp.float32) + ai.sum().astype(jnp.float32)
 
         v, g = jax.value_and_grad(f)(perturbed(p, c + i))
         return c + v + g["user_emb"].sum().astype(jnp.float32)
 
-    times["prop_fwdbwd"] = chain_timed(prop_fwdbwd, it, params)
+    times["prop_fwdbwd"] = chain_timed(prop_fwdbwd, it, params, hg)
 
     # --- full loss prefixes
-    def loss_fwd(c, i, p, u, po, ng):
-        loss, aux = model.bpr_loss(perturbed(p, c + i), u, po, ng)
+    def loss_fwd(c, i, p, g_, u, po, ng):
+        loss, aux = model.bpr_loss(perturbed(p, c + i), u, po, ng, ell=g_)
         return c + loss + 1e-4 * aux["reg"]
 
-    times["loss_fwd"] = chain_timed(loss_fwd, it, params, users, pos, neg)
+    times["loss_fwd"] = chain_timed(loss_fwd, it, params, hg, users, pos, neg)
 
-    def loss_fwdbwd(c, i, p, u, po, ng):
+    def loss_fwdbwd(c, i, p, g_, u, po, ng):
         def f(pp):
-            loss, aux = model.bpr_loss(pp, u, po, ng)
+            loss, aux = model.bpr_loss(pp, u, po, ng, ell=g_)
             return loss + 1e-4 * aux["reg"]
 
         v, g = jax.value_and_grad(f)(perturbed(p, c + i))
         return c + v + g["user_emb"].sum().astype(jnp.float32)
 
-    times["loss_fwdbwd"] = chain_timed(loss_fwdbwd, it, params, users, pos, neg)
+    times["loss_fwdbwd"] = chain_timed(
+        loss_fwdbwd, it, params, hg, users, pos, neg
+    )
 
     # --- the full step (loss + Adam), optimizer state threaded honestly
-    def full_step(carry, i, p, os_, u, po, ng):
-        c, p, os_ = carry
-
-        def f(pp):
-            loss, aux = model.bpr_loss(pp, u, po, ng)
-            return loss + 1e-4 * aux["reg"]
-
-        v, g = jax.value_and_grad(f)(p)
-        upd, os_ = optimizer.update(g, os_, p)
-        import optax
-
-        p = optax.apply_updates(p, upd)
-        return (c + v, p, os_)
-
-    def run_full(p, os_, u, po, ng):
+    def run_full(seed, p, os_, g_, u, po, ng):
         def step(carry, i):
-            return full_step(carry, i, p, os_, u, po, ng), None
+            c, pp, oss = carry
+
+            def f(q):
+                loss, aux = model.bpr_loss(q, u, po, ng, ell=g_)
+                return loss + 1e-4 * aux["reg"]
+
+            v, grads = jax.value_and_grad(f)(pp)
+            upd, oss = optimizer.update(grads, oss, pp)
+            import optax
+
+            pp = optax.apply_updates(pp, upd)
+            return (c + v, pp, oss), None
 
         out, _ = jax.lax.scan(
-            step, (jnp.float32(0), p, os_),
+            step, (seed, p, os_),
             jnp.arange(it, dtype=jnp.float32),
         )
         return out[0]
 
-    f_full = jax.jit(run_full)
-    r = f_full(params, opt_state, users, pos, neg)
-    r.block_until_ready()
+    # AOT compile + time the first execution (see chain_timed)
+    f_full = (
+        jax.jit(run_full)
+        .lower(jnp.float32(0), params, opt_state, hg, users, pos, neg)
+        .compile()
+    )
     t0 = time.perf_counter()
-    r = f_full(params, opt_state, users, pos, neg)
+    r = f_full(jnp.float32(0), params, opt_state, hg, users, pos, neg)
     r.block_until_ready()
     times["full_step"] = (time.perf_counter() - t0) / it
 
@@ -202,11 +237,11 @@ def main():
     ue0 = params["user_emb"].astype(jnp.bfloat16)
     ie0 = params["item_emb"].astype(jnp.bfloat16)
 
-    def dense_only(c, i, ue, ie):
+    def dense_only(c, i, g_, ue, ie):
         u, x = ue + c * 1e-12, ie + c * 1e-12
         for _ in range(mcfg.num_layers):
-            du = hg.user_from_item
-            di = hg.item_from_user
+            du = g_.user_from_item
+            di = g_.item_from_user
             nu = jnp.dot(du.dense.astype(u.dtype), x[du.top_src],
                          preferred_element_type=jnp.float32)
             ni = jnp.dot(di.dense.astype(u.dtype), u[di.top_src],
@@ -214,19 +249,19 @@ def main():
             u, x = nu.astype(u.dtype), ni.astype(x.dtype)
         return c + u.sum().astype(jnp.float32) + x.sum().astype(jnp.float32)
 
-    times["sweep_dense_only"] = chain_timed(dense_only, it, ue0, ie0)
+    times["sweep_dense_only"] = chain_timed(dense_only, it, hg, ue0, ie0)
 
-    def residual_only(c, i, ue, ie):
+    def residual_only(c, i, g_, ue, ie):
         u, x = ue + c * 1e-12, ie + c * 1e-12
         for _ in range(mcfg.num_layers):
-            nu = _apply_side(hg.user_from_item.residual.by_user, x, None,
+            nu = _apply_side(g_.user_from_item.residual.by_user, x, None,
                              None, True)
-            ni = _apply_side(hg.item_from_user.residual.by_user, u, None,
+            ni = _apply_side(g_.item_from_user.residual.by_user, u, None,
                              None, False)
             u, x = nu.astype(u.dtype), ni.astype(x.dtype)
         return c + u.sum().astype(jnp.float32) + x.sum().astype(jnp.float32)
 
-    times["sweep_residual_only"] = chain_timed(residual_only, it, ue0, ie0)
+    times["sweep_residual_only"] = chain_timed(residual_only, it, hg, ue0, ie0)
 
     # --- walls
     E = data.train_size
