@@ -186,6 +186,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="override #triplets per epoch (0 = train_size, the reference semantics)",
     )
+    p.add_argument(
+        "--neg_candidates",
+        type=int,
+        default=16,
+        help="on-device sampler: negative candidates per triplet (each = "
+        "one bitset gather + one random int32; bias floor rho^C — see "
+        "TrainConfig.neg_candidates)",
+    )
     p.add_argument("--data_axis", type=int, default=1)
     p.add_argument("--model_axis", type=int, default=1)
     return p
@@ -260,6 +268,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             early_stop_evals=args.early_stop,
             tensorboard=bool(args.tensorboard),
             comment=args.comment,
+            neg_candidates=args.neg_candidates,
         ),
         eval=EvalConfig(
             test_batch=args.testbatch,

@@ -211,6 +211,15 @@ class TrainConfig:
     # steps/epoch. Pass -1 to force the old uncapped single-scan
     # behavior (fault-reproduction / debugging only).
     steps_per_scan: int = 0
+    # On-device sampler: negatives candidates drawn per triplet (each
+    # costs one bitset gather + one random int32 — the sampler is the
+    # dominant per-triplet cost of the train base, BENCH_NOTES round-5
+    # roofline). All candidates landing in the user's positives falls
+    # back to accepting a positive as negative for that triplet: at
+    # density rho the per-triplet bias is rho^C — 16 keeps even a
+    # pathological deg/m=0.25 user below 1e-9; 4 is ~1e-12 at real
+    # Gowalla-like density and measurably cheaper.
+    neg_candidates: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -73,11 +73,21 @@ def make_sampler_state(data: InteractionData) -> SamplerState:
     )
 
 
-@partial(jax.jit, static_argnames=("num_samples",))
+@partial(jax.jit, static_argnames=("num_samples", "neg_candidates"))
 def sample_triplets(
-    key: jax.Array, state: SamplerState, num_samples: int
+    key: jax.Array,
+    state: SamplerState,
+    num_samples: int,
+    neg_candidates: int = NEG_CANDIDATES,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Draw `num_samples` (user, pos, neg) triplets on device."""
+    """Draw `num_samples` (user, pos, neg) triplets on device.
+
+    ``neg_candidates`` trades sampler cost for the all-candidates-
+    positive bias floor: the sampler is the dominant per-triplet cost of
+    the L0 train base (BENCH_NOTES round-5 roofline — ~19 gathers + ~18
+    RNG ints per triplet at the default 16), and each candidate costs
+    one bitset gather + one random int32. At Gowalla-like density
+    (deg/m ~ 1e-3) C=4 keeps the bias below 1e-12 per triplet."""
     k_user, k_pos, k_neg = jax.random.split(key, 3)
     u_idx = jax.random.randint(k_user, (num_samples,), 0, state.n_valid)
     users = state.valid_users[u_idx]
@@ -88,7 +98,7 @@ def sample_triplets(
     positives = state.pos_items[start + pos_off % degree]
 
     cands = jax.random.randint(
-        k_neg, (num_samples, NEG_CANDIDATES), 0, state.m_items, dtype=jnp.int32
+        k_neg, (num_samples, neg_candidates), 0, state.m_items, dtype=jnp.int32
     )
     is_pos = bitset_lookup(state.train_bitset, users[:, None], cands)
     # First non-positive candidate; if (astronomically unlikely) all are
@@ -184,6 +194,7 @@ def sample_epoch(
     epoch_size: int,
     batch_size: int,
     by_edge: bool = False,
+    neg_candidates: int = NEG_CANDIDATES,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sample a whole epoch of triplets, rounded up to full batches and
     reshaped (num_batches, batch_size). The reference shuffles and yields a
@@ -200,6 +211,6 @@ def sample_epoch(
         u, p = sample_pairs_by_edge(key, state, total)
         n = p
     else:
-        u, p, n = sample_triplets(key, state, total)
+        u, p, n = sample_triplets(key, state, total, neg_candidates)
     shape = (num_batches, batch_size)
     return u.reshape(shape), p.reshape(shape), n.reshape(shape)

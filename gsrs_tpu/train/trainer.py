@@ -233,6 +233,7 @@ class Trainer:
                     n * B,
                     B,
                     by_edge=getattr(self.model, "samples_pairs_by_edge", False),
+                    neg_candidates=self.cfg.train.neg_candidates,
                 )
             )
             drop_keys = jax.random.split(kd, n)

@@ -168,3 +168,30 @@ def test_padded_catalog_phantom_items_masked():
     neg = np.asarray(neg)
     assert (neg < 31).all(), f"phantom ids sampled as negatives: {neg[neg >= 31]}"
     assert (neg >= 5).all()  # 0..4 are everyone's positives
+
+
+def test_device_sampler_neg_candidates_knob(tiny_data):
+    """neg_candidates (round-5 sampler-cost knob, the dominant
+    per-triplet train cost — BENCH_NOTES train roofline) must keep the
+    sampler contract at small C on realistic density, and thread through
+    sample_epoch."""
+    state = make_sampler_state(tiny_data)
+    mask = _dense_mask(tiny_data)
+    # tiny_data density ~0.09 (incl. the guaranteed per-user positive):
+    # the documented bias floor is rho^C per triplet, so C=2 leaks ~0.8%
+    # here while C=8 leaks ~1e-9 — both bounds checked
+    rho = mask.sum() / mask.size
+    for c, max_rate in ((2, 3 * rho**2), (4, 3 * rho**4 + 1e-3), (8, 0.0)):
+        users, pos, neg = map(
+            np.asarray,
+            sample_triplets(jax.random.key(3), state, 4096, neg_candidates=c),
+        )
+        assert mask[users, pos].all()
+        leak = mask[users, neg].mean()
+        assert leak <= max_rate, f"leak {leak} above rho^C bound at C={c}"
+    u, p, n = sample_epoch(
+        jax.random.key(4), state, 1000, 250, neg_candidates=4
+    )
+    assert u.shape == (4, 250)
+    un, pn, nn = map(np.asarray, (u.reshape(-1), p.reshape(-1), n.reshape(-1)))
+    assert not mask[un, nn].any()
