@@ -194,6 +194,14 @@ def build_parser() -> argparse.ArgumentParser:
         "one bitset gather + one random int32; bias floor rho^C — see "
         "TrainConfig.neg_candidates)",
     )
+    p.add_argument(
+        "--save_last_every",
+        type=int,
+        default=1,
+        help="cadence (epochs) of the rolling 'last' checkpoint; 1 = every "
+        "epoch (reference behavior). An Orbax write costs ~1-2 s, which "
+        "dominates wall time at sub-second epochs",
+    )
     p.add_argument("--data_axis", type=int, default=1)
     p.add_argument("--model_axis", type=int, default=1)
     return p
@@ -269,6 +277,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             tensorboard=bool(args.tensorboard),
             comment=args.comment,
             neg_candidates=args.neg_candidates,
+            save_last_every=args.save_last_every,
         ),
         eval=EvalConfig(
             test_batch=args.testbatch,

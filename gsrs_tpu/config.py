@@ -220,6 +220,13 @@ class TrainConfig:
     # pathological deg/m=0.25 user below 1e-9; 4 is ~1e-12 at real
     # Gowalla-like density and measurably cheaper.
     neg_candidates: int = 16
+    # Cadence of the rolling 'last' checkpoint (epochs). 1 = every epoch
+    # (the reference-faithful default, code/main.py:238); an Orbax write
+    # costs ~1-2 s on this filesystem, which dominates wall time at
+    # sub-second epochs — the round-5 quality queue runs use 25.
+    # Best-NDCG and periodic legacy saves are unaffected; a final 'last'
+    # save always happens when fit() exits.
+    save_last_every: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -397,7 +397,18 @@ class Trainer:
                 tb.scalar("Train/loss", loss, state.epoch)
                 if verbose:
                     print(f"[epoch {state.epoch}/{epochs}] loss={loss:.5f} ({dt:.2f}s)")
-                self.save_last(state)
+                # 'last' save cadence: a full Orbax write costs ~1-2 s
+                # through this filesystem — at the headline 0.5 s/epoch,
+                # saving EVERY epoch quadruples wall time (round-5 queue
+                # pacing measurement: 2.3 s/epoch wall vs 0.56 s train).
+                # Resume still lands on the newest multiple; 1 keeps the
+                # original every-epoch behavior.
+                if (
+                    t_cfg.save_last_every == 1
+                    or state.epoch % max(1, t_cfg.save_last_every) == 0
+                    or state.epoch >= epochs
+                ):
+                    self.save_last(state)
                 if t_cfg.save_every and state.epoch % t_cfg.save_every == 0:
                     self.ckpt.save_periodic(
                         self._ckpt_state(state),
@@ -419,6 +430,11 @@ class Trainer:
                     state, valid_csv, tb, verbose, label="final eval"
                 )
         finally:
+            # the loop may skip save_last on its final epoch (throttled
+            # cadence / early-stop / interrupt): always leave a current
+            # 'last' checkpoint behind
+            if t_cfg.checkpoint_dir:
+                self.save_last(state)
             tb.close()
         return state
 

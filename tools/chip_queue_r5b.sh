@@ -24,7 +24,7 @@ for SEED in 1 7 42 2021; do
     --use_scheduler --sched_milestones "[750,900,1050]" --sched_gamma 0.5 \
     --epochs 1500 --eval_every 25 --early_stop 10 --tensorboard 0 \
     --checkpoint_dir "checkpoints/b131072-seed$SEED" \
-    --comment "b131072-seed$SEED" \
+    --comment "b131072-seed$SEED" --save_last_every 25 \
     > "results/b131072-seed$SEED.log" 2>&1
   cp "checkpoints/b131072-seed$SEED/valid_epoch_metrics.csv" \
      "results/b131072-seed$SEED-valid.csv" 2>/dev/null
@@ -38,7 +38,7 @@ timeout 2700 python -m gsrs_tpu --dataset gowalla --bpr_batch 131072 \
   --use_scheduler --sched_milestones "[750,900,1050]" --sched_gamma 0.5 \
   --epochs 1500 --eval_every 25 --early_stop 10 --tensorboard 0 \
   --checkpoint_dir checkpoints/b131072-tiled \
-  --comment b131072-tiled \
+  --comment b131072-tiled --save_last_every 25 \
   > results/b131072-tiled.log 2>&1
 cp checkpoints/b131072-tiled/valid_epoch_metrics.csv \
    results/b131072-tiled-valid.csv 2>/dev/null
@@ -52,7 +52,7 @@ timeout 4200 python -m gsrs_tpu --dataset gowalla --model ngcf \
   --seed 2020 --spmm hybrid --hybrid_cols 8192 \
   --dropout 1 --keepprob 0.9 \
   --epochs 600 --eval_every 20 --early_stop 10 --tensorboard 0 \
-  --checkpoint_dir checkpoints/ngcf-gowalla --comment ngcf-gowalla \
+  --checkpoint_dir checkpoints/ngcf-gowalla --comment ngcf-gowalla --save_last_every 20 \
   > results/ngcf-gowalla.log 2>&1
 cp checkpoints/ngcf-gowalla/valid_epoch_metrics.csv \
    results/ngcf-gowalla-valid.csv 2>/dev/null
@@ -63,7 +63,7 @@ timeout 3600 python -m gsrs_tpu --dataset gowalla --model mf \
   --bpr_batch 2048 --lr 1e-3 --decay 1e-4 --recdim 64 --bf16 \
   --seed 2020 \
   --epochs 1000 --eval_every 25 --early_stop 10 --tensorboard 0 \
-  --checkpoint_dir checkpoints/mf-gowalla --comment mf-gowalla \
+  --checkpoint_dir checkpoints/mf-gowalla --comment mf-gowalla --save_last_every 25 \
   > results/mf-gowalla.log 2>&1
 cp checkpoints/mf-gowalla/valid_epoch_metrics.csv \
    results/mf-gowalla-valid.csv 2>/dev/null
