@@ -351,6 +351,7 @@ class Trainer:
         tb = TensorboardWriter(log_dir if t_cfg.tensorboard else None, t_cfg.comment)
         main_k = max(self.cfg.eval.topks)
         last_eval_epoch = -1
+        last_saved_epoch = -1
         evals_since_best = 0
 
         try:
@@ -406,9 +407,9 @@ class Trainer:
                 if (
                     t_cfg.save_last_every == 1
                     or state.epoch % max(1, t_cfg.save_last_every) == 0
-                    or state.epoch >= epochs
                 ):
                     self.save_last(state)
+                    last_saved_epoch = state.epoch
                 if t_cfg.save_every and state.epoch % t_cfg.save_every == 0:
                     self.ckpt.save_periodic(
                         self._ckpt_state(state),
@@ -432,8 +433,8 @@ class Trainer:
         finally:
             # the loop may skip save_last on its final epoch (throttled
             # cadence / early-stop / interrupt): always leave a current
-            # 'last' checkpoint behind
-            if t_cfg.checkpoint_dir:
+            # 'last' checkpoint behind (skipped when the loop just wrote it)
+            if t_cfg.checkpoint_dir and last_saved_epoch != state.epoch:
                 self.save_last(state)
             tb.close()
         return state

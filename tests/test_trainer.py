@@ -187,3 +187,21 @@ def test_steps_per_scan_uncapped_matches_auto_below_cap(tiny_cluster_data, tmp_p
     np.testing.assert_array_equal(
         np.asarray(s1.params["user_emb"]), np.asarray(s2.params["user_emb"])
     )
+
+
+def test_save_last_every_throttles_and_final_save(tiny_cluster_data, tmp_path):
+    """save_last_every (round-5: an Orbax write costs ~1-2 s, which
+    dominated wall time at sub-second epochs) must throttle the rolling
+    'last' save to the cadence AND still leave a final current 'last'
+    checkpoint when fit() exits."""
+    trainer = make_trainer(tiny_cluster_data, tmp_path, save_last_every=4)
+    calls = []
+    real = trainer.save_last
+    trainer.save_last = lambda st: (calls.append(st.epoch), real(st))[1]
+    state = trainer.fit(epochs=10, verbose=False)
+    # cadence epochs 4, 8 + the final exit save at 10
+    assert calls == [4, 8, 10], calls
+    # the final 'last' checkpoint must restore to epoch 10
+    restored = trainer.init_state()
+    restored = trainer.maybe_resume(restored)
+    assert restored.epoch == state.epoch == 10
