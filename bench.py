@@ -10,22 +10,26 @@ midpoint 33.5 s. ``vs_baseline`` is the speedup factor
 
 The measured config is the fastest one that holds QUALITY PARITY with
 the reference's published Gowalla numbers (recall@20 0.1825): 3 layers,
-dim 64, batch 131072, hybrid SpMM (dense MXU hub blocks + residual
-ELL, 8192 hub columns/direction), bf16, full 810,128-interaction
+dim 64, batch 131072, TILED SpMM (per-row-group dense hub blocks over
+the deterministic spectral cluster order + residual ELL; G=64 groups,
+C=2048 hub columns per group — the round-5 A/B winner,
+results/bench_spmm_tiled_b131072.log), bf16, full 810,128-interaction
 epochs, uniform negative sampling — sampling is *included* in our
-epoch time (it runs on-device). Parity evidence:
-results/b131072-parity.log + results/b131072-parity-valid.csv (best
-recall@20 0.183363 @ e1500, ndcg 0.155931, precision 0.055963 — above
-the reference's published 0.1824/0.1547/0.05589 AND its own best
-recorded run 0.18250/0.15456/0.05596 on all three metrics; lr 8e-3 =
-sqrt-scaled from the reference's 1e-3 at 64x batch, MultiStepLR
-[750,900,1050] gamma 0.5 — the reference's own scheduler mechanism,
-reference code/parse.py:76-82); re-derive with
-`python quality_bench.py`. The b65536 point (0.63 s, recall 0.183429 /
-ndcg 0.156062 / precision 0.056096) is the project's best QUALITY at
-any batch. Hybrid SpMM is math-equivalent to ELL (tests/test_hybrid.py,
-losses agree to 5 decimals), and ELL matches segment-sum to 1e-10 in
-gradients. The b8192 (2.85 s, 0.18280), b16384 (1.6 s, 0.18275) and
+epoch time (it runs on-device). Quality evidence at THIS exact config:
+results/b131072-tiled{-valid.csv,.log}; the same operating point is
+seed-replicated 5x on the math-equivalent hybrid layout
+(results/b131072-seed*-valid.csv, `python tools/seed_stats.py`:
+recall/ndcg/precision above the reference's published
+0.1824/0.1547/0.05589 at mean-sigma; vs the reference's own best
+recorded run, decisively above on ndcg and statistically
+indistinguishable on recall/precision). lr 8e-3 = sqrt-scaled from the
+reference's 1e-3 at 64x batch, MultiStepLR [750,900,1050] gamma 0.5 —
+the reference's own scheduler mechanism (reference code/parse.py:76-82);
+re-derive with `python quality_bench.py`. The b65536 point (0.63 s,
+recall 0.183429) is the project's best QUALITY at any batch. Tiled SpMM
+is train-step equality-tested against ELL (tests/test_tiled.py), and
+ELL matches segment-sum to 1e-10 in gradients. The hybrid b131072
+(0.52-0.53 s), b8192 (2.85 s, 0.18280), b16384 (1.6 s, 0.18275),
 b32768 (0.93 s, 0.18338) parity points remain tracked in results/.
 """
 
@@ -92,7 +96,7 @@ def main() -> None:
     from gsrs_tpu.data.adjacency import build_graph
     from gsrs_tpu.data.dataset import load_dataset
     from gsrs_tpu.models.registry import build_model
-    from gsrs_tpu.ops.hybrid import hybrid_from_interactions
+    from gsrs_tpu.ops.tiled import tiled_from_interactions
     from gsrs_tpu.train.trainer import Trainer
 
     data = load_dataset(ddir, name="gowalla")
@@ -102,15 +106,16 @@ def main() -> None:
             num_layers=3,
             embedding_dim=64,
             bf16_compute=True,
-            spmm_mode="hybrid",
-            hybrid_cols=8192,
+            spmm_mode="tiled",
+            tiled_groups=64,
+            tiled_cols=2048,
         ),
         train=TrainConfig(batch_size=131072, tensorboard=False),
     )
     model = build_model(
         cfg.model,
         graph,
-        ell=hybrid_from_interactions(data, cols=8192, dtype=jnp.bfloat16),
+        ell=tiled_from_interactions(data, groups=64, cols=2048, dtype=jnp.bfloat16),
     )
     trainer = Trainer(cfg, data, graph, model, run_eval=False)
     state = trainer.init_state()
