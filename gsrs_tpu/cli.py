@@ -202,6 +202,13 @@ def build_parser() -> argparse.ArgumentParser:
         "epoch (reference behavior). An Orbax write costs ~1-2 s, which "
         "dominates wall time at sub-second epochs",
     )
+    p.add_argument(
+        "--fused_adam",
+        choices=["off", "jnp", "pallas"],
+        default="off",
+        help="fuse the Adam update into one pass per table (off = optax "
+        "chain; see TrainConfig.fused_adam)",
+    )
     p.add_argument("--data_axis", type=int, default=1)
     p.add_argument("--model_axis", type=int, default=1)
     return p
@@ -278,6 +285,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             comment=args.comment,
             neg_candidates=args.neg_candidates,
             save_last_every=args.save_last_every,
+            fused_adam=args.fused_adam,
         ),
         eval=EvalConfig(
             test_batch=args.testbatch,

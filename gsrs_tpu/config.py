@@ -227,6 +227,13 @@ class TrainConfig:
     # Best-NDCG and periodic legacy saves are unaffected; a final 'last'
     # save always happens when fit() exits.
     save_last_every: int = 1
+    # Optimizer fusion: "off" = optax.adam chain (reference-equivalent,
+    # code/utils.py:51), "jnp" = one fused expression per leaf, "pallas"
+    # = explicit one-pass TPU kernel (train/fused_adam.py). All three
+    # compute the same bias-corrected update; the fused backends exist
+    # because the optax chain measures ~8 ms/step at b131072 vs a
+    # ~0.16 ms moment-traffic floor (BENCH_NOTES round-5 roofline).
+    fused_adam: str = "off"
 
 
 @dataclasses.dataclass(frozen=True)

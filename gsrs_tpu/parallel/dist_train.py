@@ -57,8 +57,15 @@ def make_train_step(
             return loss + decay * aux["reg"], aux
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # FusedAdam (train/fused_adam.py) updates params in one pass per
+        # leaf; elementwise, so GSPMD shards it exactly like the tables.
+        from gsrs_tpu.train.fused_adam import FusedAdam
+
+        if isinstance(optimizer, FusedAdam):
+            params, opt_state = optimizer.step(params, grads, opt_state)
+        else:
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     def compile_for(params, opt_state):

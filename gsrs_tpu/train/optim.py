@@ -25,7 +25,12 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
 
 def make_optimizer(
     cfg: TrainConfig, steps_per_epoch: int
-) -> Tuple[optax.GradientTransformation, optax.Schedule]:
+) -> Tuple[object, optax.Schedule]:
     sched = lr_schedule(cfg, steps_per_epoch)
+    fused = getattr(cfg, "fused_adam", "off")
+    if fused and fused != "off":
+        from gsrs_tpu.train.fused_adam import FusedAdam
+
+        return FusedAdam(schedule=sched, backend=fused), sched
     # torch.optim.Adam defaults: betas (0.9, 0.999), eps 1e-8 — optax matches.
     return optax.adam(learning_rate=sched), sched

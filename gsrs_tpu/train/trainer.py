@@ -136,7 +136,10 @@ class Trainer:
 
     # ------------------------------------------------------------ train step
     def _build_epoch_fn(self):
+        from gsrs_tpu.train.fused_adam import FusedAdam
+
         model, opt = self.model, self.optimizer
+        fused_step = isinstance(opt, FusedAdam)
         decay = self.cfg.train.decay
         # Models that consume per-step randomness beyond edge dropout
         # (e.g. XSimGCL's noise views) declare needs_step_key.
@@ -165,8 +168,11 @@ class Trainer:
                     return loss + decay * aux["reg"], aux
 
                 (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                if fused_step:
+                    params, opt_state = opt.step(params, grads, opt_state)
+                else:
+                    updates, opt_state = opt.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(

@@ -617,3 +617,38 @@ def test_distributed_init_rejects_partial_explicit_config(monkeypatch):
     monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
     with pytest.raises(RuntimeError, match="only one of"):
         distributed_init()
+
+
+def test_gspmd_step_fused_adam_matches_optax(setup):
+    """FusedAdam on the mesh == optax.adam single-device: the one-pass
+    update is elementwise, so GSPMD shards it like the tables and the
+    math must agree with the reference chain."""
+    from gsrs_tpu.train.fused_adam import FusedAdam
+
+    data, graph, model, params, optimizer, batch = setup
+    ref_params, ref_loss = _single_device_step(model, optimizer, params, batch)
+
+    mesh = make_mesh(data_axis=2, model_axis=4)
+    sh = GraphShardings(mesh)
+    p_sharded = sh.place_params(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    )
+    model_sh = build_model(
+        model.cfg, sh.place_graph(graph), ell=sh.place_ell(model.ell)
+    )
+    fused = FusedAdam(schedule=optax.constant_schedule(1e-2))
+    opt_state = fused.init(p_sharded)
+    step = make_train_step(model_sh, fused, mesh, decay=1e-4)(
+        p_sharded, opt_state
+    )
+    batch_s = sh.batch_spec()
+    sharded_batch = tuple(jax.device_put(b, batch_s) for b in batch)
+    new_params, _, loss = step(
+        p_sharded, opt_state, model_sh.graph, model_sh.ell, *sharded_batch
+    )
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    for name in ("user_emb", "item_emb"):
+        np.testing.assert_allclose(
+            np.asarray(new_params[name]), np.asarray(ref_params[name]),
+            atol=1e-5,
+        )
