@@ -13,22 +13,24 @@ the reference's published Gowalla numbers (recall@20 0.1825): 3 layers,
 dim 64, batch 131072, TILED SpMM (per-row-group dense hub blocks over
 the deterministic spectral cluster order + residual ELL; G=64 groups,
 C=2048 hub columns per group — the round-5 A/B winner,
-results/bench_spmm_tiled_b131072.log), bf16, full 810,128-interaction
-epochs, uniform negative sampling — sampling is *included* in our
-epoch time (it runs on-device). Quality evidence at THIS exact config:
-results/b131072-tiled{-valid.csv,.log}; the same operating point is
-seed-replicated 5x on the math-equivalent hybrid layout
-(results/b131072-seed*-valid.csv, `python tools/seed_stats.py`:
-recall/ndcg/precision above the reference's published
-0.1824/0.1547/0.05589 at mean-sigma; vs the reference's own best
-recorded run, decisively above on ndcg and statistically
-indistinguishable on recall/precision). lr 8e-3 = sqrt-scaled from the
-reference's 1e-3 at 64x batch, MultiStepLR [750,900,1050] gamma 0.5 —
-the reference's own scheduler mechanism (reference code/parse.py:76-82);
-re-derive with `python quality_bench.py`. The b65536 point (0.63 s,
-recall 0.183429) is the project's best QUALITY at any batch. Tiled SpMM
-is train-step equality-tested against ELL (tests/test_tiled.py), and
-ELL matches segment-sum to 1e-10 in gradients. The hybrid b131072
+results/bench_spmm_tiled_b131072.log), bf16, the 4-candidate on-device
+sampler (`--neg_candidates 4`; accept-a-positive bias floor rho^4 ~
+1e-12 per triplet at Gowalla densities), full 810,128-interaction
+epochs — sampling is *included* in our epoch time (it runs on-device).
+Quality evidence at THIS exact config (tiled G64xC2048 + C4, seed
+2020): results/b131072-tiled-c4{-valid.csv,.log} — recall/ndcg/prec@20
+0.183424/0.156257/0.056013, above the reference's published
+0.1824/0.1547/0.05589 AND its own best recorded run
+0.18250/0.15456/0.05596 on all three metrics; the same operating point
+is seed-replicated 5x on the math-equivalent hybrid layout
+(results/b131072-seed*-valid.csv, `python tools/seed_stats.py`: mean
+0.18310 +/- 0.00053). lr 8e-3 = sqrt-scaled from the reference's 1e-3
+at 64x batch, MultiStepLR [750,900,1050] gamma 0.5 — the reference's
+own scheduler mechanism (reference code/parse.py:76-82); re-derive
+with `python quality_bench.py`. The b65536 point (0.63 s, recall
+0.183429) is the project's best QUALITY at any batch. Tiled SpMM is
+train-step equality-tested against ELL (tests/test_tiled.py), and ELL
+matches segment-sum to 1e-10 in gradients. The hybrid b131072
 (0.52-0.53 s), b8192 (2.85 s, 0.18280), b16384 (1.6 s, 0.18275),
 b32768 (0.93 s, 0.18338) parity points remain tracked in results/.
 """
@@ -110,7 +112,9 @@ def main() -> None:
             tiled_groups=64,
             tiled_cols=2048,
         ),
-        train=TrainConfig(batch_size=131072, tensorboard=False),
+        train=TrainConfig(
+            batch_size=131072, tensorboard=False, neg_candidates=4
+        ),
     )
     model = build_model(
         cfg.model,
