@@ -218,7 +218,10 @@ class TrainConfig:
     # back to accepting a positive as negative for that triplet: at
     # density rho the per-triplet bias is rho^C — 16 keeps even a
     # pathological deg/m=0.25 user below 1e-9; 4 is ~1e-12 at real
-    # Gowalla-like density and measurably cheaper.
+    # Gowalla-like density and measurably cheaper. 0 = UNCHECKED uniform
+    # draw (no bitset test at all; bias rho ~ 6.6e-4/triplet at Gowalla
+    # — the standard industrial BPR shortcut; quality-validated
+    # end-to-end before use, results/b131072-tiledc0*).
     neg_candidates: int = 16
     # Cadence of the rolling 'last' checkpoint (epochs). 1 = every epoch
     # (the reference-faithful default, code/main.py:238); an Orbax write

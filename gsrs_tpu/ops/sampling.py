@@ -87,7 +87,16 @@ def sample_triplets(
     the L0 train base (BENCH_NOTES round-5 roofline — ~19 gathers + ~18
     RNG ints per triplet at the default 16), and each candidate costs
     one bitset gather + one random int32. At Gowalla-like density
-    (deg/m ~ 1e-3) C=4 keeps the bias below 1e-12 per triplet."""
+    (deg/m ~ 1e-3) C=4 keeps the bias below 1e-12 per triplet.
+
+    ``neg_candidates=0`` is the UNCHECKED frontier mode: one uniform
+    draw per triplet with no bitset membership test at all. The triplet
+    is then a (user, pos, pos') pair with probability deg_u/m
+    (~6.6e-4 at mean Gowalla degree) — the standard industrial BPR
+    shortcut (the reference's host sampler rejects instead,
+    reference code/sources/sampling.cpp). Quality at the headline
+    config must be (and is) validated end-to-end before relying on it:
+    results/b131072-tiledc0*."""
     k_user, k_pos, k_neg = jax.random.split(key, 3)
     u_idx = jax.random.randint(k_user, (num_samples,), 0, state.n_valid)
     users = state.valid_users[u_idx]
@@ -96,6 +105,12 @@ def sample_triplets(
     degree = state.pos_indptr[users + 1] - start
     pos_off = jax.random.randint(k_pos, (num_samples,), 0, jnp.iinfo(jnp.int32).max)
     positives = state.pos_items[start + pos_off % degree]
+
+    if neg_candidates == 0:
+        negatives = jax.random.randint(
+            k_neg, (num_samples,), 0, state.m_items, dtype=jnp.int32
+        )
+        return users, positives, negatives
 
     cands = jax.random.randint(
         k_neg, (num_samples, neg_candidates), 0, state.m_items, dtype=jnp.int32

@@ -195,3 +195,28 @@ def test_device_sampler_neg_candidates_knob(tiny_data):
     assert u.shape == (4, 250)
     un, pn, nn = map(np.asarray, (u.reshape(-1), p.reshape(-1), n.reshape(-1)))
     assert not mask[un, nn].any()
+
+
+def test_device_sampler_unchecked_mode(tiny_data):
+    """neg_candidates=0: one uniform draw, no bitset test. Negatives
+    must stay in-range and the positive-collision rate must track the
+    dataset density rho (the documented bias of the unchecked mode),
+    not zero and not grossly above it."""
+    state = make_sampler_state(tiny_data)
+    mask = _dense_mask(tiny_data)
+    rho = mask.sum() / mask.size
+    users, pos, neg = map(
+        np.asarray,
+        sample_triplets(jax.random.key(5), state, 8192, neg_candidates=0),
+    )
+    assert mask[users, pos].all()
+    assert (neg >= 0).all() and (neg < tiny_data.m_items).all()
+    leak = mask[users, neg].mean()
+    # E[leak] ~ mean user-degree/m; tiny_data is ~9% dense so the
+    # collision rate is visible — bound it within 2x of rho either side
+    assert 0.3 * rho < leak < 2.0 * rho, (leak, rho)
+    # threads through sample_epoch too
+    u, p, n = sample_epoch(
+        jax.random.key(6), state, 1000, 250, neg_candidates=0
+    )
+    assert u.shape == (4, 250) and n.min() >= 0
