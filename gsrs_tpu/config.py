@@ -220,8 +220,10 @@ class TrainConfig:
     # pathological deg/m=0.25 user below 1e-9; 4 is ~1e-12 at real
     # Gowalla-like density and measurably cheaper. 0 = UNCHECKED uniform
     # draw (no bitset test at all; bias rho ~ 6.6e-4/triplet at Gowalla
-    # — the standard industrial BPR shortcut; quality-validated
-    # end-to-end before use, results/b131072-tiledc0*).
+    # — the standard industrial BPR shortcut). Measured at the b131072
+    # headline config: 20% faster but BELOW the reference quality bar
+    # (recall@20 0.18190 vs 0.1824 published, results/b131072-tiledc0*)
+    # — an explicit throughput-over-quality opt-in, never a default.
     neg_candidates: int = 16
     # Cadence of the rolling 'last' checkpoint (epochs). 1 = every epoch
     # (the reference-faithful default, code/main.py:238); an Orbax write

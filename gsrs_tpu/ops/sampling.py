@@ -89,14 +89,16 @@ def sample_triplets(
     one bitset gather + one random int32. At Gowalla-like density
     (deg/m ~ 1e-3) C=4 keeps the bias below 1e-12 per triplet.
 
-    ``neg_candidates=0`` is the UNCHECKED frontier mode: one uniform
-    draw per triplet with no bitset membership test at all. The triplet
-    is then a (user, pos, pos') pair with probability deg_u/m
-    (~6.6e-4 at mean Gowalla degree) — the standard industrial BPR
-    shortcut (the reference's host sampler rejects instead,
-    reference code/sources/sampling.cpp). Quality at the headline
-    config must be (and is) validated end-to-end before relying on it:
-    results/b131072-tiledc0*."""
+    ``neg_candidates=0`` is the UNCHECKED mode: one uniform draw per
+    triplet with no bitset membership test at all. The triplet is then
+    a (user, pos, pos') pair with probability deg_u/m (~6.6e-4 at mean
+    Gowalla degree) — the standard industrial BPR shortcut (the
+    reference's host sampler rejects instead, reference
+    code/sources/sampling.cpp). Measured end-to-end at the b131072
+    headline config it is 20% faster (0.26 vs 0.33 s/epoch) but lands
+    BELOW the reference quality bar (best recall@20 0.18190 vs the
+    published 0.1824 — results/b131072-tiledc0*), so it is an explicit
+    opt-in for throughput-over-quality deployments, never a default."""
     k_user, k_pos, k_neg = jax.random.split(key, 3)
     u_idx = jax.random.randint(k_user, (num_samples,), 0, state.n_valid)
     users = state.valid_users[u_idx]
