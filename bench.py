@@ -21,10 +21,14 @@ Quality evidence at THIS exact config (tiled G64xC2048 + C4, seed
 2020): results/b131072-tiled-c4{-valid.csv,.log} — recall/ndcg/prec@20
 0.183424/0.156257/0.056013, above the reference's published
 0.1824/0.1547/0.05589 AND its own best recorded run
-0.18250/0.15456/0.05596 on all three metrics; the same operating point
-is seed-replicated 5x on the math-equivalent hybrid layout
-(results/b131072-seed*-valid.csv, `python tools/seed_stats.py`: mean
-0.18310 +/- 0.00053). lr 8e-3 = sqrt-scaled from the reference's 1e-3
+0.18250/0.15456/0.05596 on all three metrics; THIS exact config is
+seed-replicated (results/b131072-tiledc4-seed*-valid.csv: recall
+0.183527 +/- 0.00014, mean-sigma above the reference's best run on all
+three metrics), plus 5 hybrid-layout seeds (mean 0.18310 +/- 0.00053,
+`python tools/seed_stats.py`). The cheaper neg_candidates=0 sampler
+(0.26 s/epoch) was measured quality-NEGATIVE (recall 0.18190, below
+the bar — results/b131072-tiledc0*) and is deliberately NOT the bench
+config. lr 8e-3 = sqrt-scaled from the reference's 1e-3
 at 64x batch, MultiStepLR [750,900,1050] gamma 0.5 — the reference's
 own scheduler mechanism (reference code/parse.py:76-82); re-derive
 with `python quality_bench.py`. The b65536 point (0.63 s, recall
